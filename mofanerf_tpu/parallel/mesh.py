@@ -1,0 +1,62 @@
+"""Device mesh + sharding rules.
+
+The TPU-native replacement for the reference's `torch.nn.DataParallel`
+(run_train.py:272-276, run_fit.py:166-168): a `jax.sharding.Mesh` with a
+`data` axis for ray-batch sharding and a `model` axis for tensor-parallel
+sharding of the fat fine MLP (10x1024, tools/config_parser.py:21-24).
+Gradients reduce over ICI via the collectives XLA inserts for the sharded
+jit — no explicit NCCL-style calls (SURVEY.md section 2.7).
+
+The same code path scales 1 chip -> v5e-8 -> multi-host: only the mesh
+construction changes.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Default: all devices on the data axis (pure ray/batch parallelism).
+    n_model > 1 carves a tensor-parallel axis for the fine MLP's width.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a ray batch [N, ...] over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params_rules(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Produce a NamedSharding pytree matching `params`.
+
+    Policy: fine-field hidden weights/biases shard their last (output) dim
+    over 'model'; everything else (small coarse net, codes, encoder) is
+    replicated. With n_model == 1 this degenerates to full replication.
+    """
+
+    def spec_for(path: tuple, leaf) -> NamedSharding:
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        in_fine = "fine" in keys
+        if in_fine and hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[-1] % max(1, mesh.shape["model"]) == 0:
+            # shard last dim across model axis (W=1024 divides cleanly)
+            if leaf.shape[-1] >= 128:
+                return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)

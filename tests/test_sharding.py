@@ -1,0 +1,92 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mofanerf_tpu.models.field import FieldConfig
+from mofanerf_tpu.parallel.mesh import make_mesh, ray_sharding, replicated, shard_params_rules
+from mofanerf_tpu.render.renderer import (
+    MoFaNeRF,
+    RenderConfig,
+    init_model_params,
+    prepare_conditioning,
+    render_rays,
+    exp_code_for,
+)
+
+SPEC = MoFaNeRF(
+    coarse=FieldConfig(depth=8, width=32),
+    fine=FieldConfig(depth=8, width=256),  # width sharded over model axis
+    render=RenderConfig(n_coarse=8, n_importance=8),
+    uv_size=128,
+)
+
+
+def test_virtual_mesh_available():
+    assert jax.device_count() == 8
+
+
+def _assert_close_modulo_sample_flips(a, b, atol=2e-3, frac=0.1, hard_max=0.15):
+    """Partition-dependent fp accumulation can flip occasional searchsorted
+    indices in the importance sampler (discontinuous in its inputs), visibly
+    moving isolated samples on a chaotic random-init field. Require the bulk
+    of pixels to match tightly and bound the outliers."""
+    err = np.abs(np.asarray(a) - np.asarray(b))
+    assert (err > atol).mean() < frac, f"too many mismatches: {(err > atol).mean():.3f}"
+    assert err.max() < hard_max, f"large deviation: {err.max():.4f}"
+
+
+def test_data_parallel_render_matches_single():
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = init_model_params(jax.random.PRNGKey(0), SPEC)
+    cond = prepare_conditioning(
+        params, SPEC, jnp.ones(50) * 0.1, exp_code_for(params, 0), jnp.ones(256) * 0.1
+    )
+    rng = np.random.default_rng(0)
+    n = 64
+    ro = jnp.asarray(rng.standard_normal((n, 3)) * 0.1, jnp.float32)
+    rd = rng.standard_normal((n, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    single = render_rays(params, SPEC, cond, ro, rd)
+
+    rs = ray_sharding(mesh)
+    rep = replicated(mesh)
+    f = jax.jit(
+        lambda p, c, o, d: render_rays(p, SPEC, c, o, d),
+        in_shardings=(rep, rep, rs, rs),
+    )
+    sharded = f(params, cond, jax.device_put(ro, rs), jax.device_put(rd, rs))
+    _assert_close_modulo_sample_flips(sharded["rgb"], single["rgb"])
+
+
+def test_tensor_parallel_fine_field():
+    """2-way model sharding of the fine field width x 4-way data sharding."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    params = init_model_params(jax.random.PRNGKey(1), SPEC)
+    rules = shard_params_rules(params, mesh)
+    # fine hidden weights got a model-sharded spec
+    fine_spec = rules["fine"]["sigma"]["mid"][0]["w"].spec
+    assert fine_spec == P(None, "model")
+    # coarse stays replicated (width 32 < 128)
+    assert rules["coarse"]["sigma"]["mid"][0]["w"].spec == P()
+
+    params_sharded = jax.device_put(params, rules)
+    cond = prepare_conditioning(
+        params_sharded, SPEC, jnp.ones(50) * 0.1,
+        exp_code_for(params_sharded, 0), jnp.ones(256) * 0.1,
+    )
+    rng = np.random.default_rng(1)
+    n = 32
+    ro = jnp.asarray(rng.standard_normal((n, 3)) * 0.1, jnp.float32)
+    rd = rng.standard_normal((n, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+    rs = NamedSharding(mesh, P("data"))
+
+    out = jax.jit(lambda p, c, o, d: render_rays(p, SPEC, c, o, d))(
+        params_sharded, cond, jax.device_put(ro, rs), jax.device_put(rd, rs)
+    )
+    ref = render_rays(params, SPEC, cond, ro, rd)
+    _assert_close_modulo_sample_flips(out["rgb"], ref["rgb"])
