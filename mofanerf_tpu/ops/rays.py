@@ -35,6 +35,29 @@ def get_rays(H: int, W: int, K: jnp.ndarray, c2w: jnp.ndarray):
     return rays_o, rays_d
 
 
+def get_rays_at(coords_ij: jnp.ndarray, K: jnp.ndarray, c2w: jnp.ndarray):
+    """Rays for an arbitrary set of pixel coordinates.
+
+    coords_ij: [N, 2] (row j, col i) pixel coordinates (float).
+    Returns (rays_o [N,3], rays_d [N,3]). Differentiable in c2w.
+
+    TPU rationale: the reference's fitting loop regenerates the FULL HxW ray
+    grid each pyramid level and then gathers N_rand rays
+    (run_fit.py:281-291) — a dynamic-shape pattern that would force one
+    XLA recompile per level. Generating rays only at the selected
+    coordinates keeps every fitting step at a single static [N_rand] shape
+    across the whole coarse-to-fine schedule.
+    """
+    j = coords_ij[:, 0]
+    i = coords_ij[:, 1]
+    dirs = jnp.stack(
+        [(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1], -jnp.ones_like(i)], axis=-1
+    )
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
 def ndc_rays(H: int, W: int, focal: float, near: float, rays_o, rays_d):
     """Shift to near plane and project to NDC (models/model.py:293-310).
 

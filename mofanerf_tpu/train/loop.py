@@ -1,0 +1,159 @@
+"""Host-side training driver.
+
+Capability parity with the reference coarse-training loop
+(run_train.py:165-410): per-iteration pick a random training image, read
+target + UV map, landmark-biased ray selection (with center precrop for the
+first `precrop_iters`), render N_rand rays through the two-pass model,
+MSE(fine)+MSE(coarse), Adam with exponential decay, interval checkpointing,
+periodic held-out renders, text logging.
+
+TPU-first: the device step (encode + fold + render + loss + update) is the
+single jitted `train_step`; this file only does host I/O, index sampling,
+and orchestration. UV maps are cached in host RAM after first read. Unlike
+the reference there is no DataParallel wrap and no crash-retry-by-rebuild
+(run_train.py:348-356) — a jitted pure function either compiles or doesn't.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mofanerf_tpu.config import Config
+from mofanerf_tpu.data.facescape import (
+    load_facescape_data,
+    load_shape_codes,
+    read_image,
+    valid_persons,
+)
+from mofanerf_tpu.data.landmarks import TrainRaySampler
+from mofanerf_tpu.ops.rays import get_rays_at
+from mofanerf_tpu.render.renderer import (
+    prepare_conditioning,
+    render_frame,
+    exp_code_for,
+    encode_texture,
+)
+from mofanerf_tpu.train.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from mofanerf_tpu.train.state import (
+    Batch,
+    create_train_state,
+    make_optimizer,
+    train_step,
+)
+from mofanerf_tpu.utils.logger import TrainLogger
+from mofanerf_tpu.utils.metrics import to8b
+
+
+def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
+    spec = cfg.model_spec()
+    exp_dir = os.path.join(cfg.basedir, cfg.expname)
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = TrainLogger(os.path.join(exp_dir, "train_log.txt"))
+
+    persons = valid_persons(cfg.datadir, cfg.person_num)
+    shape_codes = load_shape_codes(cfg.shape_codes_path)
+    ds = load_facescape_data(
+        cfg.datadir, persons, shape_codes, uvdir=cfg.uvdir,
+        half_res=cfg.half_res, testskip=cfg.testskip,
+    )
+    H, W, focal = ds.hwf
+    K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32)
+
+    landmarks = None
+    if os.path.exists(cfg.landmarks_path):
+        # world units: raw landmarks / 50 (run_train.py:121)
+        landmarks = np.load(cfg.landmarks_path) / 50.0
+    sampler = TrainRaySampler(landmarks, H, W)
+
+    state = create_train_state(jax.random.PRNGKey(seed), spec, cfg.lrate, cfg.lrate_decay)
+    tx = make_optimizer(cfg.lrate, cfg.lrate_decay)
+    start = 0
+    if not cfg.no_reload and latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        start = int(state.step)
+        logger.note(f"resumed from checkpoint at step {start}")
+
+    step_fn = jax.jit(lambda s, b, k: train_step(s, b, k, spec, tx))
+
+    uv_cache = {}
+    rng = np.random.default_rng(seed + 1)
+    i_train = ds.i_split[0]
+    n_total = n_iters if n_iters is not None else cfg.n_iters
+    t0 = time.time()
+
+    for i in range(start, n_total):
+        img_i = int(rng.choice(i_train))
+        pid = int(ds.id_codes[img_i])
+        if pid not in uv_cache:
+            uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True)
+        target = read_image(ds.image_paths[img_i], half_res=cfg.half_res)
+        pose = ds.poses[img_i]
+
+        precrop = cfg.precrop_frac if i < cfg.precrop_iters else None
+        coords = sampler.sample(
+            rng, cfg.N_rand, K, pose, pid, int(ds.exp_types[img_i]), precrop_frac=precrop
+        )
+        rays_o, rays_d = get_rays_at(
+            jnp.asarray(coords, jnp.float32), jnp.asarray(K), jnp.asarray(pose)
+        )
+        batch = Batch(
+            rays_o=rays_o,
+            rays_d=rays_d,
+            target_rgb=jnp.asarray(target[coords[:, 0], coords[:, 1]]),
+            shape_code=jnp.asarray(ds.shape_codes[img_i]),
+            exp_type=jnp.asarray(int(ds.exp_types[img_i]), jnp.int32),
+            uv_map=jnp.asarray(uv_cache[pid]),
+        )
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(seed * 1_000_003 + i))
+
+        if (i + 1) % cfg.i_print == 0:
+            loss = float(metrics["loss"])
+            psnr = float(metrics["psnr"])
+            rate = (i + 1 - start) / (time.time() - t0)
+            print(f"[TRAIN] iter {i + 1} loss {loss:.5f} psnr {psnr:.2f} it/s {rate:.2f}")
+            logger.write(i + 1, Loss=loss, PSNR=psnr)
+
+        if (i + 1) % cfg.i_weights == 0:
+            path = save_checkpoint(ckpt_dir, state, i + 1)
+            logger.note(f"checkpoint saved: {path}")
+
+        if (i + 1) % cfg.i_testset == 0 and len(ds.i_split[2]) > 0:
+            _render_test_image(cfg, spec, state, ds, K, rng, exp_dir, i + 1, uv_cache)
+
+    save_checkpoint(ckpt_dir, state, n_total)
+    logger.note("training finished")
+
+
+def _render_test_image(cfg, spec, state, ds, K, rng, exp_dir, step, uv_cache):
+    """Half-res held-out render (run_train.py:382-398)."""
+    import imageio.v2 as imageio
+
+    test_i = int(rng.choice(ds.i_split[2]))
+    pid = int(ds.id_codes[test_i])
+    if pid not in uv_cache:
+        uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True)
+    tex = encode_texture(state.params, spec, jnp.asarray(uv_cache[pid]))
+    cond = prepare_conditioning(
+        state.params, spec, jnp.asarray(ds.shape_codes[test_i]),
+        exp_code_for(state.params, int(ds.exp_types[test_i])), tex,
+    )
+    H, W, _ = ds.hwf
+    out = render_frame(
+        state.params, spec, cond, H // 2, W // 2,
+        jnp.asarray(K / 2), jnp.asarray(ds.poses[test_i][:3]),
+    )
+    out_dir = os.path.join(exp_dir, f"testset_{step:06d}")
+    os.makedirs(out_dir, exist_ok=True)
+    imageio.imwrite(
+        os.path.join(out_dir, f"{test_i:03d}.png"), to8b(np.asarray(out["rgb"]))
+    )

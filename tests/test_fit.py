@@ -1,0 +1,135 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mofanerf_tpu.models.field import FieldConfig
+from mofanerf_tpu.render.renderer import (
+    MoFaNeRF,
+    RenderConfig,
+    init_model_params,
+    prepare_conditioning,
+    render_rays,
+)
+from mofanerf_tpu.ops.rays import get_rays_at, get_rays, pose_spherical
+from mofanerf_tpu.train.fit import (
+    FitConfig,
+    fit_lr_schedule,
+    fit_step,
+    init_fit_state,
+    make_fit_optimizer,
+)
+
+SPEC = MoFaNeRF(
+    coarse=FieldConfig(depth=8, width=32),
+    fine=FieldConfig(depth=8, width=32),
+    render=RenderConfig(n_coarse=8, n_importance=8),
+    uv_size=128,
+)
+
+
+def test_get_rays_at_matches_grid():
+    K = jnp.asarray([[50.0, 0, 8], [0, 50.0, 8], [0, 0, 1]])
+    c2w = jnp.asarray(pose_spherical(15.0, -5.0, 16.0))[:3]
+    ro_g, rd_g = get_rays(16, 16, K, c2w)
+    coords = jnp.asarray([[0.0, 0.0], [3.0, 7.0], [15.0, 15.0]])
+    ro, rd = get_rays_at(coords, K, c2w)
+    for n, (j, i) in enumerate([(0, 0), (3, 7), (15, 15)]):
+        np.testing.assert_allclose(np.asarray(rd[n]), np.asarray(rd_g[j, i]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ro[n]), np.asarray(ro_g[j, i]), atol=1e-6)
+
+
+def test_fit_lr_schedule():
+    sched = fit_lr_schedule(2e-3, 2000, 1.1)
+    np.testing.assert_allclose(float(sched(0)), 2e-3, rtol=1e-6)
+    # after one stage (2000/6 = 333 steps) decayed by 1.1
+    np.testing.assert_allclose(float(sched(333)), 2e-3 / 1.1, rtol=1e-5)
+    # past 1500: clamped to 5e-4
+    np.testing.assert_allclose(float(sched(1600)), 5e-4, rtol=1e-6)
+
+
+def test_fit_step_optimizes_codes_not_model():
+    params = init_model_params(jax.random.PRNGKey(0), SPEC)
+    cfg = FitConfig(n_iters=100, n_rand=32, H=16, W=16, focal=20.0)
+    pose = pose_spherical(0.0, 0.0, 16.0)
+    state = init_fit_state(jax.random.PRNGKey(1), cfg, pose)
+    tx = make_fit_optimizer(cfg)
+
+    # target: rendering from DIFFERENT codes (recoverable signal)
+    target_codes = state.codes._replace(shape=state.codes.shape + 0.5)
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(
+        np.stack([rng.integers(0, 16, 32), rng.integers(0, 16, 32)], -1), jnp.float32
+    )
+    K = jnp.asarray([[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]])
+    ro, rd = get_rays_at(coords, K, target_codes.pose)
+    cond_t = prepare_conditioning(
+        params, SPEC, target_codes.shape, target_codes.exp, target_codes.tex
+    )
+    target = render_rays(params, SPEC, cond_t, ro, rd)["rgb"]
+
+    step_jit = jax.jit(lambda s, c, t, k: fit_step(params, SPEC, tx, s, c, t, k))
+    losses = []
+    for i in range(15):
+        state, loss = step_jit(state, coords, target, K)
+        losses.append(float(loss))
+    assert int(state.step) == 15
+    assert np.isfinite(losses).all()
+    assert min(losses[1:]) < losses[0], losses
+    # all code groups moved
+    init = init_fit_state(jax.random.PRNGKey(1), cfg, pose)
+    for name in ["shape", "tex", "exp", "pose", "light"]:
+        a = np.asarray(getattr(state.codes, name))
+        b = np.asarray(getattr(init.codes, name))
+        assert not np.array_equal(a, b), f"{name} code never updated"
+
+
+def test_fit_step_static_shape_across_pyramid_levels():
+    """The same compiled fit_step must serve every pyramid scale (coords and
+    K change value, not shape)."""
+    params = init_model_params(jax.random.PRNGKey(2), SPEC)
+    cfg = FitConfig(n_iters=60, n_rand=16, H=16, W=16, focal=20.0)
+    state = init_fit_state(jax.random.PRNGKey(3), cfg, pose_spherical(0, 0, 16.0))
+    tx = make_fit_optimizer(cfg)
+
+    compiles = {"n": 0}
+
+    def counted(s, c, t, k):
+        compiles["n"] += 1
+        return fit_step(params, SPEC, tx, s, c, t, k)
+
+    step_jit = jax.jit(counted)
+    rng = np.random.default_rng(1)
+    for scale in [8, 4, 2, 1]:
+        side = max(2, 16 // scale)
+        coords = jnp.asarray(
+            np.stack([rng.integers(0, side, 16), rng.integers(0, side, 16)], -1),
+            jnp.float32,
+        )
+        K = jnp.asarray([[20.0 / scale, 0, side / 2], [0, 20.0 / scale, side / 2], [0, 0, 1]])
+        target = jnp.full((16, 3), 0.5)
+        state, _ = step_jit(state, coords, target, K)
+    assert compiles["n"] == 1, f"fit_step retraced {compiles['n']} times across pyramid"
+
+
+def test_fit_loop_e2e(tmp_path):
+    """Host-driver smoke test with a synthetic target."""
+    from mofanerf_tpu.train.fit_loop import fit, load_fit_codes
+
+    params = init_model_params(jax.random.PRNGKey(4), SPEC)
+    cfg = FitConfig(
+        n_iters=12, n_rand=16, H=16, W=16, focal=20.0,
+        change_epoch=(0, 3, 6, 9, 11), ckpt_every=5, preview_every=10,
+    )
+    target = np.full((16, 16, 3), 0.4, np.float32)
+    target[4:12, 4:12] = 0.8
+    kp2d = np.full((68, 2), 8.0)
+    state = fit(
+        params, SPEC, target, pose_spherical(0, 0, 16.0), kp2d, str(tmp_path), cfg
+    )
+    assert int(state.step) >= 12
+    codes, step = load_fit_codes(str(tmp_path / "fit_params.npz"))
+    assert codes.shape.shape == (50,)
+    assert (tmp_path / "target.png").exists()
+    previews = list(tmp_path.glob("fit_*.png"))
+    assert previews, "no preview renders written"

@@ -1,0 +1,67 @@
+"""End-to-end training driver test on the synthetic FaceScape fixture."""
+import os
+
+import numpy as np
+
+from mofanerf_tpu.config import Config
+from mofanerf_tpu.data.facescape import make_synthetic_dataset
+
+
+def test_train_loop_e2e(tmp_path):
+    from mofanerf_tpu.train.loop import train
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=2, n_train=2, n_test=1, hw=16)
+
+    cfg = Config(
+        expname="smoke",
+        basedir=str(tmp_path / "logs"),
+        datadir=str(data_dir),
+        uvdir=str(data_dir / "uv"),
+        shape_codes_path=str(data_dir / "factors_id.npy"),
+        landmarks_path=str(data_dir / "landmarks.npy"),
+        person_num=2,
+        netdepth=8, netwidth=16, netdepth_fine=8, netwidth_fine=16,
+        N_rand=16, N_samples=4, N_importance=4,
+        precrop_iters=2,
+        i_print=2, i_weights=4, i_testset=4,
+        compute_dtype="float32",
+        packet_size=64,
+        testskip=1,
+    )
+    train(cfg, n_iters=5, seed=0)
+
+    exp_dir = tmp_path / "logs" / "smoke"
+    assert (exp_dir / "train_log.txt").exists()
+    log = (exp_dir / "train_log.txt").read_text()
+    assert "Iteration" in log
+    ckpts = os.listdir(exp_dir / "checkpoints")
+    assert any(c == "000004" for c in ckpts), ckpts  # interval ckpt
+    assert any(c == "000005" for c in ckpts), ckpts  # final ckpt
+    test_renders = list(exp_dir.glob("testset_*/**/*.png"))
+    assert test_renders, "no held-out render written"
+
+
+def test_train_loop_resume(tmp_path):
+    from mofanerf_tpu.train.loop import train
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=1, n_train=2, n_test=1, hw=16)
+    cfg = Config(
+        expname="resume",
+        basedir=str(tmp_path / "logs"),
+        datadir=str(data_dir),
+        uvdir=str(data_dir / "uv"),
+        shape_codes_path=str(data_dir / "factors_id.npy"),
+        landmarks_path=str(data_dir / "landmarks.npy"),
+        person_num=1,
+        netdepth=8, netwidth=16, netdepth_fine=8, netwidth_fine=16,
+        N_rand=8, N_samples=4, N_importance=4,
+        precrop_iters=0, i_print=100, i_weights=100, i_testset=100,
+        compute_dtype="float32", packet_size=64, testskip=1,
+    )
+    train(cfg, n_iters=3)
+    # second invocation resumes from the final step-3 checkpoint
+    train(cfg, n_iters=5)
+    log = (tmp_path / "logs" / "resume" / "train_log.txt").read_text()
+    assert "resumed from checkpoint at step 3" in log
