@@ -1,0 +1,111 @@
+"""RefineNet training-corpus renderer — counterpart of
+render_refine_trainSet.py:25-318.
+
+For each identity x `exp_num` random expressions x `view_num` random views,
+renders a frame with the trained coarse model into
+  <out>/<id>/<exp>/<view>.png
+Resumable (skips ids whose output dir already exists —
+render_refine_trainSet.py:250-262) and manually shardable across machines
+with --begin_person/--end_person (README.md:125).
+
+TPU notes: the per-(id, exp) conditioning fold happens once, then all
+views render as packeted frames inside jit; frames for one identity run
+back-to-back with no recompiles (static HxW).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mofanerf_tpu.config import load_config
+from mofanerf_tpu.data.facescape import (
+    load_shape_codes,
+    read_image,
+    valid_persons,
+)
+from mofanerf_tpu.ops.rays import pose_spherical
+from mofanerf_tpu.render.renderer import (
+    prepare_conditioning,
+    render_frame,
+    encode_texture,
+    exp_code_for,
+)
+from mofanerf_tpu.train.checkpoint import latest_step, restore_checkpoint
+from mofanerf_tpu.train.state import create_train_state
+from mofanerf_tpu.utils.metrics import to8b
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--begin_person", type=int, default=0)
+    p.add_argument("--end_person", type=int, default=None)
+    p.add_argument("--exp_num", type=int, default=10)
+    p.add_argument("--view_num", type=int, default=8)
+    p.add_argument("--res", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    args, rest = p.parse_known_args(argv)
+    cfg = load_config(rest)
+
+    import imageio.v2 as imageio
+
+    spec = cfg.model_spec()
+    state = create_train_state(jax.random.PRNGKey(0), spec)
+    ckpt_dir = args.ckpt_dir or os.path.join(cfg.basedir, cfg.expname, "checkpoints")
+    if latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        print(f"loaded model checkpoint (step {int(state.step)})")
+    else:
+        print(f"WARNING: no checkpoint in {ckpt_dir}; rendering untrained model")
+    params = state.params
+
+    persons = valid_persons(cfg.datadir, cfg.person_num) if os.path.isdir(cfg.datadir) \
+        else list(range(cfg.person_num))
+    persons = persons[args.begin_person: args.end_person]
+    shape_codes = load_shape_codes(cfg.shape_codes_path)
+
+    H = W = args.res
+    # canonical camera: focal 1200 at 512, scaled to res
+    focal = 1200.0 * args.res / 512.0
+    K = jnp.asarray([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]])
+    rng = np.random.default_rng(args.seed)
+
+    render = jax.jit(
+        lambda cond, c2w: render_frame(params, spec, cond, H, W, K, c2w)["rgb"]
+    )
+
+    for pid in persons:
+        pid_dir = os.path.join(args.out_dir, str(pid))
+        if os.path.exists(pid_dir):
+            print(f"skip existing {pid_dir}")
+            continue
+        uv_path = os.path.join(cfg.uvdir, str(pid), "1_neutral.jpg")
+        if not os.path.exists(uv_path):
+            print(f"skip {pid}: no UV map at {uv_path}")
+            continue
+        uv = read_image(uv_path, is_uvmap=True, uv_size=spec.uv_size)
+        tex = encode_texture(params, spec, jnp.asarray(uv))
+        exps = rng.choice(20, size=min(args.exp_num, 20), replace=False)
+        for exp in exps:
+            exp_dir = os.path.join(pid_dir, str(int(exp)))
+            os.makedirs(exp_dir, exist_ok=True)
+            cond = prepare_conditioning(
+                params, spec, jnp.asarray(shape_codes[int(pid)]),
+                exp_code_for(params, int(exp)), tex,
+            )
+            for v in range(args.view_num):
+                yaw = float(rng.uniform(-90, 90))
+                pitch = float(rng.uniform(-30, 45))
+                c2w = jnp.asarray(pose_spherical(yaw, pitch, 16.0))[:3]
+                rgb = np.asarray(render(cond, c2w))
+                imageio.imwrite(os.path.join(exp_dir, f"{v:02d}.png"), to8b(rgb))
+        print(f"rendered id {pid}")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,8 +143,9 @@ def _run_field(params_field, cfg: FieldConfig, cond, pts, dir_feat_ray, n_sample
     """pts: [N, S, 3]; dir_feat_ray: [N, W//2]. Returns ([N,S,3],[N,S])."""
     n_rays = pts.shape[0]
     pe = fourier_embed(pts.reshape(-1, 3), cfg.multires)  # [N*S, 63]
-    dir_feat = jnp.repeat(dir_feat_ray, n_samples, axis=0)  # [N*S, W//2]
-    raw_rgb, raw_sigma = apply_field_folded(params_field, cond, pe, dir_feat, cfg)
+    raw_rgb, raw_sigma = apply_field_folded(
+        params_field, cond, pe, dir_feat_ray, cfg, samples_per_ray=n_samples
+    )
     return (
         raw_rgb.reshape(n_rays, n_samples, 3),
         raw_sigma.reshape(n_rays, n_samples),
