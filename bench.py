@@ -72,6 +72,12 @@ def main() -> None:
     sec = device_looped_seconds_per_render(spec, params, cond, rays_o, rays_d)
     rays_per_sec = N_RAYS / sec
     sec_per_frame = 512 * 512 / rays_per_sec
+
+    # fast mode: fine pass on importance samples only (RenderConfig.fine_on_union)
+    import dataclasses as _dc
+    fast_spec = _dc.replace(spec, render=_dc.replace(spec.render, fine_on_union=False))
+    sec_fast = device_looped_seconds_per_render(fast_spec, params, cond, rays_o, rays_d)
+    fast_rays_per_sec = N_RAYS / sec_fast
     # 22 hidden-width matmul layers per trunk pair + xyz encoder (see
     # models/field.py); per-point FLOPs dominated by the fine 10x1024 net.
     flops_per_call = N_RAYS * 128 * (22 * 2 * 1024 * 1024) + N_RAYS * 64 * (
@@ -89,6 +95,7 @@ def main() -> None:
                     "sustained_tflops": round(flops_per_call / sec / 1e12, 1),
                     "samples_per_ray": 192,
                     "fine_net": "10x1024 bf16",
+                    "fast_mode_rays_per_sec": round(fast_rays_per_sec, 1),
                     "device": str(jax.devices()[0]),
                 },
             }

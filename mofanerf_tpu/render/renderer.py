@@ -62,6 +62,11 @@ class RenderConfig:
     far: float = 26.0
     lindisp: bool = False
     packet_size: int = 8192       # rays per lax.map packet for full frames
+    fine_on_union: bool = True    # reference behavior: fine net sees coarse+importance
+                                  # samples (models/render_class.py:328). False = fast
+                                  # mode: fine sees only the importance samples, which
+                                  # already concentrate where the coarse weight mass is
+                                  # — ~1.9x fewer fine-net FLOPs per ray.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,14 +204,17 @@ def render_rays(
         z_samples = sample_pdf(
             k_pdf, z_mid, c.weights[..., 1:-1], rc.n_importance, det=(perturb == 0.0)
         )
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        if rc.fine_on_union:
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        else:
+            z_all = jnp.sort(z_samples, axis=-1)
+        n_fine = z_all.shape[-1]
 
-        # --- fine pass over all coarse+fine depths
+        # --- fine pass
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
         dirf_f = de @ params["fine"]["view"]["w_dirs"]
         f = _run_field(
-            params["fine"], spec.fine, cond.fine, pts, dirf_f,
-            rc.n_coarse + rc.n_importance,
+            params["fine"], spec.fine, cond.fine, pts, dirf_f, n_fine,
         )
         cf = composite(f[0], f[1], z_all, rays_d, noise_std, rc.white_bkgd, k_noise_f)
         out["rgb"], out["disp"], out["acc"] = cf.rgb, cf.disp, cf.acc

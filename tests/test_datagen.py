@@ -1,0 +1,136 @@
+import json
+
+import numpy as np
+
+from mofanerf_tpu.datagen.mesh import (
+    load_obj,
+    save_obj,
+    apply_rt_scale,
+    clip_faces_by_distance,
+)
+from mofanerf_tpu.datagen.rasterize import rasterize_mesh
+from mofanerf_tpu.datagen.multiview import (
+    camera_grid,
+    render_identity,
+    camera_angle_x,
+)
+from mofanerf_tpu.ops.rays import pose_spherical
+
+
+def _cube(size=1.0):
+    v = np.array([
+        [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+        [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+    ], np.float64) * size
+    f = np.array([
+        [0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
+        [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
+        [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0],
+    ], np.int32)
+    return v, f
+
+
+def test_obj_roundtrip(tmp_path):
+    v, f = _cube()
+    p = str(tmp_path / "cube.obj")
+    save_obj(p, v, f)
+    v2, f2 = load_obj(p)
+    np.testing.assert_allclose(v2, v, atol=1e-5)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_obj_quads_triangulated(tmp_path):
+    p = str(tmp_path / "quad.obj")
+    with open(p, "w") as fh:
+        fh.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1/1 2/2 3/3 4/4\n")
+    v, f = load_obj(p)
+    assert f.shape == (2, 3)  # quad -> two triangles
+
+
+def test_apply_rt_scale():
+    v, _ = _cube()
+    Rt = np.eye(4)
+    Rt[:3, 3] = [1, 2, 3]
+    out = apply_rt_scale(v, 2.0, Rt)
+    np.testing.assert_allclose(out, v * 2 + np.array([1, 2, 3]))
+
+
+def test_clip_faces():
+    v, f = _cube(1.0)
+    v2 = v.copy()
+    v2[0] = [100, 0, 0]  # one far vertex
+    kept = clip_faces_by_distance(v2, f, max_distance=10.0)
+    assert len(kept) < len(f)
+    assert not (kept == 0).any(axis=1).any()  # faces touching vert 0 dropped
+
+
+def test_rasterize_cube_visible():
+    v, f = _cube(1.5)
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    c2w = pose_spherical(30.0, -20.0, 8.0)
+    rgb, depth, mask = rasterize_mesh(v, f, K, c2w, H=64, W=64, tile=48)
+    assert rgb.shape == (64, 64, 3)
+    assert mask.any(), "cube not visible"
+    # center pixel hits the cube; corner doesn't
+    assert mask[32, 32]
+    assert not mask[0, 0]
+    # depth at hits is near the camera distance (8) minus cube extent
+    d = depth[mask]
+    assert 4.0 < d.min() < 8.0 and d.max() < 12.0
+    assert rgb[mask].max() > 0.1
+
+
+def test_rasterize_depth_ordering():
+    """A near triangle must occlude a far one."""
+    v = np.array([
+        # far big triangle (red-ish shading irrelevant; colors from normals)
+        [-2, -2, -2], [2, -2, -2], [0, 2.5, -2],
+        # near small triangle
+        [-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0, 0.6, 0.0],
+    ], np.float64)
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    K = np.array([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]])
+    c2w = np.eye(4)
+    c2w[2, 3] = 5.0  # camera at z=5 looking down -z
+    rgb, depth, mask = rasterize_mesh(v, f, K, c2w, H=64, W=64, tile=64)
+    assert mask[32, 32]
+    np.testing.assert_allclose(depth[32, 32], 5.0, atol=0.1)  # near tri wins
+
+
+def test_camera_grid_counts():
+    poses = camera_grid()
+    assert len(poses) == 120
+    for p in poses[:5]:
+        np.testing.assert_allclose(np.linalg.norm(p[:3, 3]), 16.0, rtol=1e-5)
+
+
+def test_render_identity_writes_dataset(tmp_path):
+    v, f = _cube(1.2)
+    render_identity(7, {0: (v, f), 3: (v, f)}, str(tmp_path), n_holdout=20, res=32)
+    meta = json.load(open(tmp_path / "transforms_train_7.json"))
+    assert abs(meta["camera_angle_x"] - camera_angle_x()) < 1e-9
+    n_train = len(meta["frames"])
+    n_val = len(json.load(open(tmp_path / "transforms_val_7.json"))["frames"])
+    n_test = len(json.load(open(tmp_path / "transforms_test_7.json"))["frames"])
+    assert n_train + n_val + n_test == 240  # 2 expressions x 120 views
+    assert n_val + n_test == 40
+    assert {fr["expression"] for fr in meta["frames"]} == {0, 3}
+    # images exist and are RGBA
+    import imageio.v2 as imageio
+
+    img = imageio.imread(tmp_path / (meta["frames"][0]["file_path"] + ".png"))
+    assert img.shape == (32, 32, 4)
+    # resumable: second call skips
+    render_identity(7, {0: (v, f)}, str(tmp_path), res=32)
+
+
+def test_loadable_by_facescape_loader(tmp_path):
+    """The produced dataset must round-trip through the training loader."""
+    from mofanerf_tpu.data.facescape import load_facescape_data
+
+    v, f = _cube(1.2)
+    render_identity(0, {0: (v, f)}, str(tmp_path), res=32)
+    shape_codes = np.zeros((300, 50), np.float32)
+    ds = load_facescape_data(str(tmp_path), [0], shape_codes, testskip=1)
+    assert len(ds.image_paths) == 120
+    assert ds.hwf[0] == 32
