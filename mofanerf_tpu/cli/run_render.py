@@ -1,0 +1,85 @@
+"""Orbit / testset rendering CLI.
+
+Covers the reference's render-only paths: `render_path` over the spherical
+orbit (tools/load_facescape.py:87-88, run_train.py i_video hook) for a given
+identity + expression, writing frames and an mp4 when imageio-ffmpeg is
+available.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mofanerf_tpu.config import load_config
+from mofanerf_tpu.data.facescape import read_image, load_shape_codes
+from mofanerf_tpu.ops.rays import pose_spherical
+from mofanerf_tpu.render.renderer import (
+    prepare_conditioning,
+    render_path,
+    encode_texture,
+    exp_code_for,
+)
+from mofanerf_tpu.train.checkpoint import latest_step, restore_checkpoint
+from mofanerf_tpu.train.state import create_train_state
+from mofanerf_tpu.utils.metrics import to8b
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--person", type=int, default=0)
+    p.add_argument("--expression", type=int, default=0)
+    p.add_argument("--n_views", type=int, default=40)
+    p.add_argument("--render_factor", type=int, default=2)
+    p.add_argument("--ckpt_dir", default=None)
+    args, rest = p.parse_known_args(argv)
+    cfg = load_config(rest)
+
+    import imageio.v2 as imageio
+
+    spec = cfg.model_spec()
+    state = create_train_state(jax.random.PRNGKey(0), spec)
+    ckpt_dir = args.ckpt_dir or os.path.join(cfg.basedir, cfg.expname, "checkpoints")
+    if latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        print(f"loaded checkpoint (step {int(state.step)})")
+    else:
+        print("WARNING: rendering an untrained model")
+    params = state.params
+
+    shape = jnp.zeros(spec.shape_dim)
+    if os.path.exists(cfg.shape_codes_path):
+        shape = jnp.asarray(load_shape_codes(cfg.shape_codes_path)[args.person])
+    tex = jnp.zeros(spec.tex_dim)
+    uv_path = os.path.join(cfg.uvdir, str(args.person), "1_neutral.jpg")
+    if os.path.exists(uv_path):
+        tex = encode_texture(
+            params, spec, jnp.asarray(read_image(uv_path, is_uvmap=True, uv_size=spec.uv_size))
+        )
+
+    cond = prepare_conditioning(params, spec, shape, exp_code_for(params, args.expression), tex)
+    poses = np.stack(
+        [pose_spherical(a, 0.0, 16.0) for a in np.linspace(-180, 180, args.n_views + 1)[:-1]]
+    )
+    rgbs, disps = render_path(
+        params, spec, cond, poses, (512, 512, 1200.0), render_factor=args.render_factor
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, rgb in enumerate(rgbs):
+        imageio.imwrite(os.path.join(args.out_dir, f"{i:03d}.png"), to8b(rgb))
+    try:
+        imageio.mimwrite(
+            os.path.join(args.out_dir, "orbit.mp4"), to8b(rgbs), fps=20, quality=8
+        )
+        print(f"wrote {len(rgbs)} frames + orbit.mp4 to {args.out_dir}")
+    except Exception as e:  # ffmpeg not available
+        print(f"wrote {len(rgbs)} frames (no video: {e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -261,3 +261,32 @@ def render_frame(
         flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n]
         out[k] = flat.reshape((H, W) + flat.shape[1:])
     return out
+
+
+def render_path(
+    params: Params,
+    spec: MoFaNeRF,
+    conds,                       # FrameCond or list of FrameCond (per pose)
+    poses,                       # [N, 3, 4] or [N, 4, 4] c2w sequence
+    hwf,                         # (H, W, focal)
+    render_factor: int = 0,
+):
+    """Render a camera path — parity with `myRenderer.render_path`
+    (models/render_class.py:199-237): optional `render_factor` downsampling
+    for fast previews; returns (rgbs [N,H,W,3], disps [N,H,W]) as numpy.
+
+    Each pose renders under the same compiled program (static H/W)."""
+    import numpy as np
+
+    H, W, focal = hwf
+    if render_factor:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
+    K = jnp.asarray([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]])
+    rgbs, disps = [], []
+    per_pose = isinstance(conds, (list, tuple)) and not isinstance(conds, FrameCond)
+    for i, c2w in enumerate(poses):
+        cond = conds[i] if per_pose else conds
+        out = render_frame(params, spec, cond, H, W, K, jnp.asarray(c2w)[:3])
+        rgbs.append(np.asarray(out["rgb"]))
+        disps.append(np.asarray(out["disp"]))
+    return np.stack(rgbs), np.stack(disps)

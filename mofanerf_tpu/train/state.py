@@ -84,8 +84,14 @@ def train_step(
     key: jax.Array,
     spec: MoFaNeRF,
     tx: optax.GradientTransformation,
+    skip_nonfinite: bool = True,
 ):
-    """One optimization step. Returns (new_state, metrics)."""
+    """One optimization step. Returns (new_state, metrics).
+
+    skip_nonfinite: when the loss or any gradient is non-finite, keep the
+    old params/optimizer state and only advance the step counter — the
+    functional replacement for the reference's catch-exception-and-rebuild
+    recovery (run_train.py:348-356), without the rebuild."""
 
     def loss_fn(params):
         tex = encode_texture(params, spec, batch.uv_map)
@@ -102,5 +108,18 @@ def train_step(
     (loss, img_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
-    metrics = {"loss": loss, "psnr": mse2psnr(img_loss)}
+
+    if skip_nonfinite:
+        grads_ok = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
+        )
+        ok = jnp.isfinite(loss) & grads_ok
+        pick = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old
+        )
+        new_params = pick(new_params, state.params)
+        new_opt = pick(new_opt, state.opt_state)
+        metrics = {"loss": loss, "psnr": mse2psnr(img_loss), "step_ok": ok}
+    else:
+        metrics = {"loss": loss, "psnr": mse2psnr(img_loss)}
     return TrainState(new_params, new_opt, state.step + 1), metrics
