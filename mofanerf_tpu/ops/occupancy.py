@@ -1,0 +1,178 @@
+"""Occupancy-grid sample culling — the production fast-render path.
+
+The reference (and our reference-parity path) spends 192 MLP point-evals
+per ray (64 coarse + 128 fine). For a face, the radiance field is a thin
+shell: most samples hit empty space. This module implements the
+TPU-native version of occupancy culling (the NerfAcc / Instant-NGP
+technique, adapted to static shapes):
+
+1. `build_occupancy_grid`: evaluate the trained FINE field's density on a
+   G^3 lattice over the face AABB once (one bench-call of compute), keep
+   a boolean grid of cells above a density threshold.
+2. `render_rays_occupancy`: per ray, place `s_probe` stratified depths,
+   look each up in the grid (pure gathers — no MLP), select the top
+   `k_keep` OCCUPIED samples per ray (argsort on a composite key — a
+   static-shape "compaction" that replaces data-dependent masking), and
+   evaluate the fine MLP only on those. Culled samples never touch the
+   MXU; rays that miss the face entirely still cost k_keep evals (static
+   shapes) but k_keep << 192.
+
+With s_probe=64, k_keep=32 this is ~6x fewer point-evals than the
+reference budget at equal surface sampling density.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mofanerf_tpu.models.field import FieldConfig, apply_field_folded
+from mofanerf_tpu.ops.embed import fourier_embed
+from mofanerf_tpu.ops.composite import composite
+from mofanerf_tpu.ops.sampling import stratified_z_vals
+
+Params = Dict[str, Any]
+
+
+class OccupancyGrid(NamedTuple):
+    occ: jnp.ndarray       # [G, G, G] bool
+    aabb_min: jnp.ndarray  # [3]
+    aabb_max: jnp.ndarray  # [3]
+
+
+def build_occupancy_grid(
+    params: Params,
+    cfg: FieldConfig,
+    cond: Params,
+    resolution: int = 64,
+    aabb_min=(-5.0, -5.0, -5.0),
+    aabb_max=(5.0, 5.0, 5.0),
+    density_threshold: float = 1.0,
+    chunk: int = 65536,
+) -> OccupancyGrid:
+    """Probe the fine field's sigma at cell centers. The default AABB covers
+    the FaceScape head at world scale 1/50 (meshes clipped to a ~5-unit
+    radius, tools/train_data_pre/predef maxDistance)."""
+    G = resolution
+    lo = jnp.asarray(aabb_min, jnp.float32)
+    hi = jnp.asarray(aabb_max, jnp.float32)
+    t = (jnp.arange(G) + 0.5) / G
+    xs = lo[0] + t * (hi[0] - lo[0])
+    ys = lo[1] + t * (hi[1] - lo[1])
+    zs = lo[2] + t * (hi[2] - lo[2])
+    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    w2 = cfg.width // 2
+    dirf = jnp.zeros((1, w2))
+
+    def probe(p):
+        pe = fourier_embed(p, cfg.multires)
+        # view dirs don't affect sigma; use a zero dir feature per chunk
+        df = jnp.broadcast_to(dirf, (p.shape[0], w2))
+        _, raw_sigma = apply_field_folded(params, cond, pe, df, cfg)
+        return raw_sigma[:, 0]
+
+    sig = jax.lax.map(probe, pts.reshape(-1, chunk, 3)).reshape(-1)
+    occ = (sig.astype(jnp.float32) > density_threshold).reshape(G, G, G)
+    return OccupancyGrid(occ, lo, hi)
+
+
+def occupancy_lookup(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
+    """pts [..., 3] -> bool occupancy (False outside the AABB)."""
+    G = grid.occ.shape[0]
+    u = (pts - grid.aabb_min) / (grid.aabb_max - grid.aabb_min)
+    idx = jnp.floor(u * G).astype(jnp.int32)
+    inside = ((idx >= 0) & (idx < G)).all(axis=-1)
+    idx = jnp.clip(idx, 0, G - 1)
+    occ = grid.occ[idx[..., 0], idx[..., 1], idx[..., 2]]
+    return occ & inside
+
+
+def render_rays_occupancy(
+    params_fine: Params,
+    cfg: FieldConfig,
+    cond_fine: Params,
+    grid: OccupancyGrid,
+    rays_o: jnp.ndarray,   # [N, 3]
+    rays_d: jnp.ndarray,   # [N, 3]
+    near: float,
+    far: float,
+    s_probe: int = 64,
+    k_keep: int = 32,
+    white_bkgd: bool = False,
+):
+    """Deterministic occupancy-culled render of a ray packet.
+
+    Returns {rgb, disp, acc, depth} like render_rays' fine outputs."""
+    n = rays_o.shape[0]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    de = fourier_embed(viewdirs, cfg.multires_views)
+    dirf = de @ params_fine["view"]["w_dirs"]
+
+    z = stratified_z_vals(None, jnp.full((n, 1), near), jnp.full((n, 1), far),
+                          s_probe, perturb=0.0)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    occ = occupancy_lookup(grid, pts)  # [N, S]
+
+    # Static-shape compaction: take the k_keep first occupied samples in
+    # depth order. Unoccupied slots are parked past the far plane; after a
+    # final sort the real samples are exactly those with z <= far.
+    key = jnp.where(occ, z, far + 1.0 + z)  # occupied first, both z-ordered
+    order = jnp.argsort(key, axis=-1)[:, :k_keep]          # [N, K]
+    zk = jnp.sort(jnp.take_along_axis(key, order, axis=-1), axis=-1)
+    keep_mask = zk <= far
+    zk = jnp.minimum(zk, far)
+
+    pts_k = rays_o[:, None, :] + rays_d[:, None, :] * zk[..., None]
+    pe = fourier_embed(pts_k.reshape(-1, 3), cfg.multires)
+    raw_rgb, raw_sigma = apply_field_folded(
+        params_fine, cond_fine, pe, dirf, cfg, samples_per_ray=k_keep
+    )
+    raw_rgb = raw_rgb.reshape(n, k_keep, 3)
+    raw_sigma = raw_sigma.reshape(n, k_keep)
+    # culled slots contribute nothing even if the field disagrees with the grid
+    raw_sigma = jnp.where(keep_mask, raw_sigma, -1e10)
+
+    c = composite(raw_rgb, raw_sigma, zk, rays_d, 0.0, white_bkgd, None)
+    return {"rgb": c.rgb, "disp": c.disp, "acc": c.acc, "depth": c.depth}
+
+
+def render_frame_fast(
+    params: Params,
+    spec,                      # render.renderer.MoFaNeRF
+    cond_fine: Params,
+    grid: OccupancyGrid,
+    H: int,
+    W: int,
+    K: jnp.ndarray,
+    c2w: jnp.ndarray,
+    s_probe: int = 64,
+    k_keep: int = 32,
+):
+    """Full-frame occupancy-culled render (production path): fixed-size ray
+    packets swept with lax.map, fine field only."""
+    from mofanerf_tpu.ops.rays import get_rays
+
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    n = H * W
+    p = min(spec.render.packet_size, n)
+    n_pad = (-n) % p
+    ro = jnp.concatenate([rays_o.reshape(-1, 3), jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
+    rd = jnp.concatenate([rays_d.reshape(-1, 3), jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
+
+    def packet(args):
+        o, d = args
+        return render_rays_occupancy(
+            params["fine"], spec.fine, cond_fine, grid, o, d,
+            spec.render.near, spec.render.far, s_probe, k_keep,
+            spec.render.white_bkgd,
+        )
+
+    maps = jax.lax.map(packet, (ro, rd))
+    out = {}
+    for k, v in maps.items():
+        flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n]
+        out[k] = flat.reshape((H, W) + flat.shape[1:])
+    return out

@@ -33,6 +33,33 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
     return Mesh(devs, axis_names=("data", "model"))
 
 
+def make_multihost_mesh(n_model: int = 1) -> Mesh:
+    """Multi-host mesh: a `dcn` axis across processes (data-parallel over
+    the data-center network) x per-host (data, model) over ICI.
+
+    Single-process fallback: dcn axis of size 1 — the same program runs
+    unchanged on one host or a multi-host pod slice (SURVEY.md section 2.7's
+    scale-out story: gradients psum over ICI first, then DCN).
+    """
+    import numpy as np
+
+    n_proc = jax.process_count()
+    devices = jax.devices()
+    if n_proc > 1:
+        from jax.experimental import mesh_utils
+
+        per_host = len(devices) // n_proc
+        mesh_arr = mesh_utils.create_hybrid_device_mesh(
+            (per_host // n_model, n_model), (n_proc, 1), devices
+        )
+        # axes: (dcn*data, model) -> reshape to (dcn, data, model)
+        mesh_arr = mesh_arr.reshape(n_proc, per_host // n_model, n_model)
+    else:
+        n_data = len(devices) // n_model
+        mesh_arr = np.asarray(devices[: n_data * n_model]).reshape(1, n_data, n_model)
+    return Mesh(mesh_arr, axis_names=("dcn", "data", "model"))
+
+
 def ray_sharding(mesh: Mesh) -> NamedSharding:
     """Shard a ray batch [N, ...] over the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -91,14 +91,15 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
     n_total = n_iters if n_iters is not None else cfg.n_iters
     t0 = time.time()
 
-    for i in range(start, n_total):
+    def make_batch(i: int) -> Batch:
+        """Host-side batch assembly (disk reads + index sampling) — runs on
+        the prefetch thread, overlapping the device step."""
         img_i = int(rng.choice(i_train))
         pid = int(ds.id_codes[img_i])
         if pid not in uv_cache:
             uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True)
         target = read_image(ds.image_paths[img_i], half_res=cfg.half_res)
         pose = ds.poses[img_i]
-
         precrop = cfg.precrop_frac if i < cfg.precrop_iters else None
         coords = sampler.sample(
             rng, cfg.N_rand, K, pose, pid, int(ds.exp_types[img_i]), precrop_frac=precrop
@@ -106,7 +107,7 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
         rays_o, rays_d = get_rays_at(
             jnp.asarray(coords, jnp.float32), jnp.asarray(K), jnp.asarray(pose)
         )
-        batch = Batch(
+        return Batch(
             rays_o=rays_o,
             rays_d=rays_d,
             target_rgb=jnp.asarray(target[coords[:, 0], coords[:, 1]]),
@@ -114,6 +115,11 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
             exp_type=jnp.asarray(int(ds.exp_types[img_i]), jnp.int32),
             uv_map=jnp.asarray(uv_cache[pid]),
         )
+
+    from mofanerf_tpu.data.prefetch import Prefetcher
+
+    batches = Prefetcher(make_batch, depth=2).iterate(start, n_total)
+    for i, batch in zip(range(start, n_total), batches):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(seed * 1_000_003 + i))
 
         if (i + 1) % cfg.i_print == 0:
