@@ -99,6 +99,35 @@ def main() -> None:
     ref_rays = N_RAYS / sec_ref
     ref_flops = N_RAYS * 128 * (22 * 2 * 1024 * 1024) + N_RAYS * 64 * (22 * 2 * 256 * 256)
 
+    # --- fitting: iterations/sec of the single-photo inverse-rendering step
+    # (N_rand=1024 rays through the full two-pass model + 3-group Adam,
+    # run_fit.py budget)
+    from mofanerf_tpu.ops.rays import pose_spherical
+    from mofanerf_tpu.train.fit import FitConfig, fit_step, init_fit_state, make_fit_optimizer
+
+    fcfg = FitConfig(n_rand=1024)
+    fstate = init_fit_state(jax.random.PRNGKey(4), fcfg, pose_spherical(0, 0, 16.0))
+    ftx = make_fit_optimizer(fcfg)
+    coords = jax.random.uniform(jax.random.PRNGKey(5), (1024, 2)) * 511
+    targets = jax.random.uniform(jax.random.PRNGKey(6), (1024, 3))
+    Kmat = jnp.asarray([[1200.0, 0, 256], [0, 1200.0, 256], [0, 0, 1.0]])
+
+    @jax.jit
+    def loop_fit(s, c, t):
+        def body(i, carry):
+            st, acc = carry
+            st, loss = fit_step(params, spec, ftx, st, c + i * 1e-6, t, Kmat)
+            return st, acc + loss
+        return jax.lax.fori_loop(0, K_INNER, body, (s, 0.0))
+
+    fs, _ = loop_fit(fstate, coords, targets)  # compile + warm
+    jax.block_until_ready(fs)
+    t0 = time.perf_counter()
+    fs, acc = loop_fit(fstate, coords, targets)
+    float(acc)
+    sec_fit = (time.perf_counter() - t0) / K_INNER
+    fit_iters_per_sec = 1.0 / sec_fit
+
     print(
         json.dumps(
             {
@@ -112,6 +141,7 @@ def main() -> None:
                     "reference_budget_rays_per_sec": round(ref_rays, 1),
                     "reference_budget_sec_per_frame": round(512 * 512 / ref_rays, 3),
                     "reference_budget_sustained_tflops": round(ref_flops / sec_ref / 1e12, 1),
+                    "fit_iters_per_sec": round(fit_iters_per_sec, 2),
                     "device": str(jax.devices()[0]),
                 },
             }

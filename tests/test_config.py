@@ -51,3 +51,14 @@ def test_model_spec_construction():
     spec = Config(netwidth_fine=128, N_samples=8, compute_dtype="float32").model_spec()
     assert spec.fine.width == 128
     assert spec.render.n_coarse == 8
+
+
+def test_shipped_config_loads():
+    import os
+    cfg = load_config(["--config", os.path.join(os.path.dirname(__file__), "..", "configs", "exp_mofanerf.txt")])
+    assert cfg.expname == "mofanerf"
+    assert cfg.netwidth_fine == 1024 and cfg.netdepth_fine == 10
+    assert cfg.N_rand == 1024 and cfg.lrate == 5e-5
+    assert cfg.compute_dtype == "bfloat16"
+    spec = cfg.model_spec()
+    assert spec.fine.width == 1024

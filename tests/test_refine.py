@@ -157,3 +157,23 @@ def test_refine_dataset_pairing(tmp_path):
     assert a.min() >= -1 and a.max() <= 1
     af, _ = ds.get(0, flip=True)
     np.testing.assert_allclose(af, a[:, ::-1], atol=1e-6)
+
+
+def test_instance_feature_encoder():
+    import jax.numpy as jnp
+    from mofanerf_tpu.models.refine.encoder import InstanceFeatureEncoder, instance_average
+
+    enc = InstanceFeatureEncoder(feat_nc=3, ngf=4, n_downsampling=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    feats = enc.apply(params, x)
+    assert feats.shape == (1, 32, 32, 3)
+
+    # instance averaging: two regions -> constant features per region
+    f = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    inst = jnp.zeros((1, 4, 4), jnp.int32).at[:, :, 2:].set(1)
+    avg = instance_average(f, inst)
+    a = np.asarray(avg[0, :, :, 0])
+    assert np.allclose(a[:, :2], a[0, 0])
+    assert np.allclose(a[:, 2:], a[0, 2])
+    assert not np.isclose(a[0, 0], a[0, 2])
