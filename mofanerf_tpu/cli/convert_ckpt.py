@@ -26,7 +26,7 @@ def main(argv=None) -> None:
     from mofanerf_tpu.models.field import FieldConfig
     from mofanerf_tpu.render.renderer import MoFaNeRF
     from mofanerf_tpu.train.checkpoint import save_checkpoint
-    from mofanerf_tpu.train.state import TrainState, create_train_state, make_optimizer
+    from mofanerf_tpu.train.state import TrainState, make_optimizer
 
     spec = MoFaNeRF(
         coarse=FieldConfig(depth=8, width=256),

@@ -14,7 +14,7 @@ random features (a weaker but non-degenerate perceptual signal).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax.numpy as jnp

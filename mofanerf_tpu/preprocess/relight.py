@@ -16,7 +16,7 @@ weights the module is architecture-complete and shape-tested.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 import jax

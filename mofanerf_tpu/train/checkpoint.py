@@ -13,15 +13,16 @@ import os
 from typing import Any
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 
 def save_checkpoint(ckpt_dir: str, state: Any, step: int) -> str:
-    """Save `state` (any pytree) under ckpt_dir/<step>."""
+    """Save `state` (any pytree) under ckpt_dir/<step>. Idempotent: an
+    existing checkpoint at the same step is replaced (an interval save and
+    the final save can legitimately land on the same step)."""
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
+    ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
     return path
 

@@ -136,8 +136,43 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
         if (i + 1) % cfg.i_testset == 0 and len(ds.i_split[2]) > 0:
             _render_test_image(cfg, spec, state, ds, K, rng, exp_dir, i + 1, uv_cache)
 
+        if (i + 1) % cfg.i_video == 0:
+            _render_orbit_video(cfg, spec, state, ds, rng, exp_dir, i + 1, uv_cache)
+
     save_checkpoint(ckpt_dir, state, n_total)
     logger.note("training finished")
+
+
+def _render_orbit_video(cfg, spec, state, ds, rng, exp_dir, step, uv_cache):
+    """Orbit render over `render_poses` (run_train.py's i_video hook over
+    tools/load_facescape.py:87-88's spherical path). Writes frames; mp4 only
+    when an ffmpeg-capable imageio backend exists."""
+    import imageio.v2 as imageio
+
+    from mofanerf_tpu.render.renderer import render_path
+
+    train_i = int(rng.choice(ds.i_split[0]))
+    pid = int(ds.id_codes[train_i])
+    if pid not in uv_cache:
+        uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True)
+    tex = encode_texture(state.params, spec, jnp.asarray(uv_cache[pid]))
+    cond = prepare_conditioning(
+        state.params, spec, jnp.asarray(ds.shape_codes[train_i]),
+        exp_code_for(state.params, int(ds.exp_types[train_i])), tex,
+    )
+    H, W, focal = ds.hwf
+    rgbs, _ = render_path(
+        state.params, spec, cond, ds.render_poses, (H, W, focal),
+        render_factor=max(2, cfg.render_factor),
+    )
+    out_dir = os.path.join(exp_dir, f"video_{step:06d}")
+    os.makedirs(out_dir, exist_ok=True)
+    for k, rgb in enumerate(rgbs):
+        imageio.imwrite(os.path.join(out_dir, f"{k:03d}.png"), to8b(rgb))
+    try:
+        imageio.mimwrite(os.path.join(out_dir, "orbit.mp4"), to8b(rgbs), fps=20)
+    except Exception:
+        pass
 
 
 def _render_test_image(cfg, spec, state, ds, K, rng, exp_dir, step, uv_cache):
