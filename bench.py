@@ -112,6 +112,37 @@ def main() -> None:
     targets = jax.random.uniform(jax.random.PRNGKey(6), (1024, 3))
     Kmat = jnp.asarray([[1200.0, 0, 256], [0, 1200.0, 256], [0, 0, 1.0]])
 
+    # --- training: steps/sec of the full train step (texture encode + fold
+    # + two-pass render + losses + Adam over everything; N_rand=1024)
+    from mofanerf_tpu.train.state import Batch, create_train_state, make_optimizer, train_step
+
+    tstate = create_train_state(jax.random.PRNGKey(7), spec)
+    ttx = make_optimizer()
+    tbatch = Batch(
+        rays_o=jnp.zeros((1024, 3)),
+        rays_d=rays_d[:1024],
+        target_rgb=jax.random.uniform(jax.random.PRNGKey(8), (1024, 3)),
+        shape_code=jnp.zeros(spec.shape_dim),
+        exp_type=jnp.asarray(0, jnp.int32),
+        uv_map=jax.random.uniform(jax.random.PRNGKey(9), (512, 512, 3)),
+    )
+
+    @jax.jit
+    def loop_train(s, b):
+        def body(i, carry):
+            st, acc = carry
+            st, m = train_step(st, b, jax.random.fold_in(jax.random.PRNGKey(10), i),
+                               spec, ttx)
+            return st, acc + m["loss"]
+        return jax.lax.fori_loop(0, K_INNER, body, (s, 0.0))
+
+    ts, _ = loop_train(tstate, tbatch)
+    jax.block_until_ready(ts)
+    t0 = time.perf_counter()
+    ts, acc = loop_train(tstate, tbatch)
+    float(acc)
+    train_steps_per_sec = 1.0 / ((time.perf_counter() - t0) / K_INNER)
+
     @jax.jit
     def loop_fit(s, c, t):
         def body(i, carry):
@@ -142,6 +173,7 @@ def main() -> None:
                     "reference_budget_sec_per_frame": round(512 * 512 / ref_rays, 3),
                     "reference_budget_sustained_tflops": round(ref_flops / sec_ref / 1e12, 1),
                     "fit_iters_per_sec": round(fit_iters_per_sec, 2),
+                    "train_steps_per_sec": round(train_steps_per_sec, 2),
                     "device": str(jax.devices()[0]),
                 },
             }

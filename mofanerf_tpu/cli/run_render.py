@@ -36,6 +36,8 @@ def main(argv=None) -> None:
     p.add_argument("--n_views", type=int, default=40)
     p.add_argument("--render_factor", type=int, default=2)
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--fast", action="store_true",
+                   help="occupancy-culled rendering (builds a density grid once)")
     args, rest = p.parse_known_args(argv)
     cfg = load_config(rest)
 
@@ -65,9 +67,25 @@ def main(argv=None) -> None:
     poses = np.stack(
         [pose_spherical(a, 0.0, 16.0) for a in np.linspace(-180, 180, args.n_views + 1)[:-1]]
     )
-    rgbs, disps = render_path(
-        params, spec, cond, poses, (512, 512, 1200.0), render_factor=args.render_factor
-    )
+    if args.fast:
+        from mofanerf_tpu.ops.occupancy import build_occupancy_grid, render_frame_fast
+
+        grid = build_occupancy_grid(params["fine"], spec.fine, cond.fine)
+        rf = max(1, args.render_factor)
+        H = W = 512 // rf
+        Kr = jnp.asarray(
+            np.array([[1200.0 / rf, 0, W / 2], [0, 1200.0 / rf, H / 2], [0, 0, 1]])
+        )
+        rgbs = np.stack([
+            np.asarray(render_frame_fast(
+                params, spec, cond.fine, grid, H, W, Kr, jnp.asarray(p_)[:3]
+            )["rgb"])
+            for p_ in poses
+        ])
+    else:
+        rgbs, _ = render_path(
+            params, spec, cond, poses, (512, 512, 1200.0), render_factor=args.render_factor
+        )
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i, rgb in enumerate(rgbs):

@@ -139,6 +139,20 @@ def render_rays_occupancy(
     return {"rgb": c.rgb, "disp": c.disp, "acc": c.acc, "depth": c.depth}
 
 
+def ray_aabb_hit(
+    grid: OccupancyGrid, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+    near: float, far: float,
+) -> jnp.ndarray:
+    """Slab-test: does each ray's [near, far] segment intersect the grid's
+    AABB? [N] bool — pure arithmetic, no MLP."""
+    inv = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
+    t0 = (grid.aabb_min - rays_o) * inv
+    t1 = (grid.aabb_max - rays_o) * inv
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    return (tmax >= tmin) & (tmax >= near) & (tmin <= far)
+
+
 def render_frame_fast(
     params: Params,
     spec,                      # render.renderer.MoFaNeRF
@@ -150,17 +164,43 @@ def render_frame_fast(
     c2w: jnp.ndarray,
     s_probe: int = 64,
     k_keep: int = 32,
+    hit_fraction: float = 1.0,
 ):
     """Full-frame occupancy-culled render (production path): fixed-size ray
-    packets swept with lax.map, fine field only."""
+    packets swept with lax.map, fine field only.
+
+    hit_fraction < 1 additionally compacts background rays at the frame
+    level: a closed-form ray-AABB slab test orders face-hitting rays first
+    (one argsort — no MLP), only the first `hit_fraction` of rays go
+    through the field, and results scatter back to pixel order with the
+    remainder rendered as background. On face frames where ~half the rays
+    miss the head AABB this roughly halves the MLP work again. Static
+    shapes throughout: hit_fraction is a compile-time budget, and frames
+    whose true hit count exceeds it lose the overflow rays to background
+    (choose the budget per camera setup)."""
     from mofanerf_tpu.ops.rays import get_rays
 
     rays_o, rays_d = get_rays(H, W, K, c2w)
     n = H * W
     p = min(spec.render.packet_size, n)
-    n_pad = (-n) % p
-    ro = jnp.concatenate([rays_o.reshape(-1, 3), jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
-    rd = jnp.concatenate([rays_d.reshape(-1, 3), jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
+    ro_flat = rays_o.reshape(-1, 3)
+    rd_flat = rays_d.reshape(-1, 3)
+
+    if hit_fraction < 1.0:
+        hit = ray_aabb_hit(grid, ro_flat, rd_flat, spec.render.near, spec.render.far)
+        order = jnp.argsort(~hit)  # hits first, stable
+        m = int(-(-int(n * hit_fraction) // p) * p)  # round budget up to packets
+        sel = order[:m]
+        ro_flat = ro_flat[sel]
+        rd_flat = rd_flat[sel]
+        n_eval = m
+    else:
+        sel = None
+        n_eval = n
+
+    n_pad = (-n_eval) % p
+    ro = jnp.concatenate([ro_flat, jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
+    rd = jnp.concatenate([rd_flat, jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
 
     def packet(args):
         o, d = args
@@ -171,8 +211,15 @@ def render_frame_fast(
         )
 
     maps = jax.lax.map(packet, (ro, rd))
+    bg = 1.0 if spec.render.white_bkgd else 0.0
     out = {}
     for k, v in maps.items():
-        flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n]
-        out[k] = flat.reshape((H, W) + flat.shape[1:])
+        flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n_eval]
+        if sel is not None:
+            fill = bg if k == "rgb" else 0.0
+            full = jnp.full((n,) + flat.shape[1:], fill, flat.dtype)
+            full = full.at[sel].set(flat)
+        else:
+            full = flat
+        out[k] = full.reshape((H, W) + full.shape[1:])
     return out

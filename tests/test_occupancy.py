@@ -115,3 +115,48 @@ def test_build_grid_from_field():
     assert grid.occ.shape == (16, 16, 16)
     occ_frac = float(jnp.mean(grid.occ))
     assert 0.0 <= occ_frac <= 1.0
+
+
+def test_ray_aabb_hit():
+    from mofanerf_tpu.ops.occupancy import ray_aabb_hit
+
+    grid = OccupancyGrid(
+        jnp.ones((4, 4, 4), bool), jnp.asarray([-2.0] * 3), jnp.asarray([2.0] * 3)
+    )
+    ro = jnp.asarray([[0.0, 0, 16], [0, 0, 16], [10, 10, 16]])
+    rd = jnp.asarray([[0.0, 0, -1], [0, 1, 0], [0, 0, -1.0]])
+    hit = np.asarray(ray_aabb_hit(grid, ro, rd, NEAR, FAR))
+    assert hit.tolist() == [True, False, False]
+
+
+def test_frame_fast_compaction_matches_uncompacted():
+    from mofanerf_tpu.ops.occupancy import render_frame_fast
+    from mofanerf_tpu.render.renderer import MoFaNeRF, RenderConfig, init_model_params, prepare_conditioning, exp_code_for
+    from mofanerf_tpu.models.field import FieldConfig as FC
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    spec = MoFaNeRF(
+        coarse=FC(depth=8, width=16), fine=FC(depth=8, width=16),
+        render=RenderConfig(n_coarse=8, n_importance=8, packet_size=32),
+        uv_size=128,
+    )
+    params = init_model_params(jax.random.PRNGKey(0), spec)
+    cond = prepare_conditioning(params, spec, jnp.zeros(50), exp_code_for(params, 0),
+                                jnp.zeros(256))
+    # small central AABB: corner rays of a wide-FOV camera miss it
+    G = 8
+    grid = OccupancyGrid(jnp.ones((G, G, G), bool),
+                         jnp.asarray([-2.0] * 3), jnp.asarray([2.0] * 3))
+    K = jnp.asarray([[8.0, 0, 8], [0, 8.0, 8], [0, 0, 1]])
+    c2w = jnp.asarray(pose_spherical(10.0, -5.0, 16.0))[:3]
+
+    full = render_frame_fast(params, spec, cond.fine, grid, 16, 16, K, c2w,
+                             s_probe=16, k_keep=8, hit_fraction=1.0)
+    comp = render_frame_fast(params, spec, cond.fine, grid, 16, 16, K, c2w,
+                             s_probe=16, k_keep=8, hit_fraction=0.6)
+    a, b = np.asarray(full["rgb"]), np.asarray(comp["rgb"])
+    # provided the hit budget covers all true hits, results must agree
+    np.testing.assert_allclose(b, a, atol=2e-3)
+    # background pixels exist and are exactly background in the compacted path
+    acc = np.asarray(comp["acc"])
+    assert (acc == 0).any()
