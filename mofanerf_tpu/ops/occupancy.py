@@ -57,26 +57,67 @@ def build_occupancy_grid(
     G = resolution
     lo = jnp.asarray(aabb_min, jnp.float32)
     hi = jnp.asarray(aabb_max, jnp.float32)
+    shell = OccupancyGrid(jnp.zeros((G, G, G), bool), lo, hi)
+    sig = probe_density(params, cfg, cond, shell, chunk)
+    occ = (sig > density_threshold).reshape(G, G, G)
+    return OccupancyGrid(occ, lo, hi)
+
+
+def probe_density(
+    params: Params,
+    cfg: FieldConfig,
+    cond: Params,
+    grid: OccupancyGrid,
+    chunk: int = 65536,
+) -> jnp.ndarray:
+    """Evaluate the fine field's raw sigma at every cell center of `grid`.
+    Returns [G^3] float32."""
+    G = grid.occ.shape[0]
+    lo, hi = grid.aabb_min, grid.aabb_max
     t = (jnp.arange(G) + 0.5) / G
     xs = lo[0] + t * (hi[0] - lo[0])
     ys = lo[1] + t * (hi[1] - lo[1])
     zs = lo[2] + t * (hi[2] - lo[2])
     X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
     pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
-
     w2 = cfg.width // 2
     dirf = jnp.zeros((1, w2))
 
     def probe(p):
         pe = fourier_embed(p, cfg.multires)
-        # view dirs don't affect sigma; use a zero dir feature per chunk
         df = jnp.broadcast_to(dirf, (p.shape[0], w2))
         _, raw_sigma = apply_field_folded(params, cond, pe, df, cfg)
         return raw_sigma[:, 0]
 
-    sig = jax.lax.map(probe, pts.reshape(-1, chunk, 3)).reshape(-1)
-    occ = (sig.astype(jnp.float32) > density_threshold).reshape(G, G, G)
-    return OccupancyGrid(occ, lo, hi)
+    n = pts.shape[0]
+    c = min(chunk, n)
+    n_pad = (-n) % c
+    pts_p = jnp.concatenate([pts, jnp.zeros((n_pad, 3))], axis=0)
+    sig = jax.lax.map(probe, pts_p.reshape(-1, c, 3)).reshape(-1)[:n]
+    return sig.astype(jnp.float32)
+
+
+def update_occupancy_grid(
+    grid: OccupancyGrid,
+    density_ema: jnp.ndarray,   # [G^3] float32 running density
+    params: Params,
+    cfg: FieldConfig,
+    cond: Params,
+    decay: float = 0.95,
+    density_threshold: float = 1.0,
+):
+    """Training-time grid maintenance (NerfAcc-style EMA): re-probe all
+    cells, take max(ema * decay, fresh), rethreshold. Call every few
+    hundred steps; one update costs ~a single render packet of compute.
+    Returns (new_grid, new_density_ema)."""
+    fresh = probe_density(params, cfg, cond, grid)
+    ema = jnp.maximum(density_ema * decay, fresh)
+    G = grid.occ.shape[0]
+    return (
+        OccupancyGrid((ema > density_threshold).reshape(G, G, G),
+                      grid.aabb_min, grid.aabb_max),
+        ema,
+    )
 
 
 def occupancy_lookup(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:

@@ -5,6 +5,10 @@ from mofanerf_tpu.render.renderer import (
     prepare_conditioning,
     render_rays,
     render_frame,
+    render_frame_sharded,
+    render_path,
+    encode_texture,
+    exp_code_for,
 )
 
 __all__ = [
@@ -14,4 +18,8 @@ __all__ = [
     "prepare_conditioning",
     "render_rays",
     "render_frame",
+    "render_frame_sharded",
+    "render_path",
+    "encode_texture",
+    "exp_code_for",
 ]

@@ -263,6 +263,61 @@ def render_frame(
     return out
 
 
+def render_frame_sharded(
+    params: Params,
+    spec: MoFaNeRF,
+    cond: FrameCond,
+    H: int,
+    W: int,
+    K: jnp.ndarray,
+    c2w: jnp.ndarray,
+    mesh,
+):
+    """Multi-chip full-frame render: rays shard over the mesh's `data`
+    axis via shard_map — every device runs its OWN sequential packet loop
+    concurrently (render_frame's plain lax.map is single-device
+    sequential). Params/conditioning are replicated; no collectives are
+    needed (rays are independent). The multi-chip serving path.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    n = H * W
+    n_data = mesh.shape["data"]
+    p = min(spec.render.packet_size, max(1, n // n_data))
+    stride = p * n_data
+    n_pad = (-n) % stride
+    ro = jnp.concatenate([rays_o.reshape(-1, 3), jnp.ones((n_pad, 3))], axis=0)
+    rd = jnp.concatenate([rays_d.reshape(-1, 3), jnp.ones((n_pad, 3))], axis=0)
+    rs = NamedSharding(mesh, P("data"))
+
+    def per_device(params, cond, ro_local, rd_local):
+        ro_p = ro_local.reshape(-1, p, 3)
+        rd_p = rd_local.reshape(-1, p, 3)
+
+        def packet(args):
+            o, d = args
+            return render_rays(params, spec, cond, o, d, key=None, train=False)
+
+        return jax.lax.map(packet, (ro_p, rd_p))
+
+    f = jax.jit(
+        shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=P("data"),
+        )
+    )
+    maps = f(params, cond, jax.device_put(ro, rs), jax.device_put(rd, rs))
+    out = {}
+    for k, v in maps.items():
+        flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n]
+        out[k] = flat.reshape((H, W) + flat.shape[1:])
+    return out
+
+
 def render_path(
     params: Params,
     spec: MoFaNeRF,

@@ -104,3 +104,16 @@ def test_logger_resume(tmp_path):
     lg2 = TrainLogger(p)
     assert lg2.last_iteration() == 12
     assert "# resumed" in open(p).read()
+
+
+def test_ssim_properties():
+    from mofanerf_tpu.utils.metrics import ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (32, 32, 3))
+    assert abs(ssim(a, a) - 1.0) < 1e-9  # identical -> 1
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    c = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1)
+    s_b, s_c = ssim(a, b), ssim(a, c)
+    assert 0 < s_c < s_b < 1  # more noise -> lower ssim
+    assert ssim(a, 1 - a) < 0.3

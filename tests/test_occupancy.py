@@ -160,3 +160,28 @@ def test_frame_fast_compaction_matches_uncompacted():
     # background pixels exist and are exactly background in the compacted path
     acc = np.asarray(comp["acc"])
     assert (acc == 0).any()
+
+
+def test_update_occupancy_grid_ema():
+    from mofanerf_tpu.ops.occupancy import update_occupancy_grid, probe_density
+
+    params, cond, _, _ = _setup()
+    G = 8
+    grid = OccupancyGrid(jnp.zeros((G, G, G), bool),
+                         jnp.asarray([-5.0] * 3), jnp.asarray([5.0] * 3))
+    ema0 = jnp.full((G ** 3,), 100.0)  # stale high density everywhere
+    g1, ema1 = update_occupancy_grid(grid, ema0, params, CFG, cond,
+                                     decay=0.5, density_threshold=10.0)
+    # decayed stale density still above threshold -> occupied
+    assert bool(g1.occ.all())
+    # repeated updates with a low-density field decay toward the fresh probe
+    fresh = probe_density(params, CFG, cond, grid)
+    g, ema = g1, ema1
+    for _ in range(12):
+        g, ema = update_occupancy_grid(g, ema, params, CFG, cond,
+                                       decay=0.5, density_threshold=10.0)
+    # ema converges to max(fresh, ema*decay^k) ~= fresh once stale mass decays
+    diff = float(jnp.max(jnp.abs(ema - jnp.maximum(fresh, ema * 0))))
+    assert diff < 1.0, diff
+    # occupancy now reflects the (low-density random) field, not the stale init
+    assert float(jnp.mean(g.occ)) < 1.0

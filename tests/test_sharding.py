@@ -90,3 +90,23 @@ def test_tensor_parallel_fine_field():
     )
     ref = render_rays(params, SPEC, cond, ro, rd)
     _assert_close_modulo_sample_flips(out["rgb"], ref["rgb"])
+
+
+def test_render_frame_sharded_matches_single():
+    from mofanerf_tpu.render.renderer import render_frame, render_frame_sharded
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = init_model_params(jax.random.PRNGKey(5), SPEC)
+    cond = prepare_conditioning(
+        params, SPEC, jnp.ones(50) * 0.1, exp_code_for(params, 0), jnp.ones(256) * 0.1
+    )
+    H, W = 12, 12
+    K = jnp.asarray([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]])
+    c2w = jnp.asarray(pose_spherical(15.0, -10.0, 16.0))[:3]
+    import dataclasses
+    spec = dataclasses.replace(SPEC, render=dataclasses.replace(SPEC.render, packet_size=16))
+    single = render_frame(params, spec, cond, H, W, K, c2w)
+    sharded = render_frame_sharded(params, spec, cond, H, W, K, c2w, mesh)
+    assert sharded["rgb"].shape == (H, W, 3)
+    _assert_close_modulo_sample_flips(sharded["rgb"], single["rgb"])
