@@ -106,7 +106,7 @@ def test_field_conversion_parity():
     pe = np.asarray(fourier_embed(jnp.asarray(pts), CFG.multires))
     de = np.asarray(fourier_embed(jnp.asarray(dirs), CFG.multires_views))
     rgb_t, sig_t = torch_field_forward(
-        sd, CFG, torch.from_numpy(pe), torch.from_numpy(exp[None]),
+        sd, CFG, torch.from_numpy(pe.copy()), torch.from_numpy(exp[None].copy()),
         torch.from_numpy(shape[None]), torch.from_numpy(tex[None]),
         torch.from_numpy(de),
     )
