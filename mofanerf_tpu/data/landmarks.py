@@ -62,6 +62,7 @@ class TrainRaySampler:
         person_id: int,
         exp: int,
         precrop_frac: Optional[float] = None,
+        target_img: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Return [n, 2] int32 (row, col) coordinates."""
         H, W = self.H, self.W
@@ -72,6 +73,26 @@ class TrainRaySampler:
             return np.stack([rows, cols], -1).astype(np.int32)
 
         if self.landmarks is None:
+            # No landmark template: bias toward FOREGROUND pixels of the
+            # target when available. Pure uniform sampling lets the
+            # majority-background rays drive the density field into the
+            # dead-relu regime early in training (same failure the
+            # reference's landmark bias prevents). Trade-off: on scenes
+            # where the object covers a SMALL image fraction, a high
+            # `lm_frac` starves background supervision and the field can
+            # fill space with fog instead (observed at flagship width on a
+            # toy scene) — tune `lm_frac` to roughly the object's screen
+            # coverage plus margin.
+            if target_img is not None:
+                fg_r, fg_c = np.nonzero(np.asarray(target_img).sum(-1) > 0.02)
+                if fg_r.shape[0] > 0:
+                    n_fg = int(n * self.lm_frac)
+                    pick = rng.integers(0, fg_r.shape[0], n_fg)
+                    fg = np.stack([fg_r[pick], fg_c[pick]], -1)
+                    uni = np.stack(
+                        [rng.integers(0, H, n - n_fg), rng.integers(0, W, n - n_fg)], -1
+                    )
+                    return np.concatenate([fg, uni], 0).astype(np.int32)
             rows = rng.integers(0, H, n)
             cols = rng.integers(0, W, n)
             return np.stack([rows, cols], -1).astype(np.int32)

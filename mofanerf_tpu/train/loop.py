@@ -102,7 +102,8 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
         pose = ds.poses[img_i]
         precrop = cfg.precrop_frac if i < cfg.precrop_iters else None
         coords = sampler.sample(
-            rng, cfg.N_rand, K, pose, pid, int(ds.exp_types[img_i]), precrop_frac=precrop
+            rng, cfg.N_rand, K, pose, pid, int(ds.exp_types[img_i]),
+            precrop_frac=precrop, target_img=target,
         )
         rays_o, rays_d = get_rays_at(
             jnp.asarray(coords, jnp.float32), jnp.asarray(K), jnp.asarray(pose)

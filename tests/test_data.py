@@ -117,3 +117,20 @@ def test_fit_sampler_scales():
         coords = s.sample(rng, 128, scale=scale)
         side = 512 // scale
         assert coords.max() < side and coords.min() >= 0
+
+
+def test_train_sampler_foreground_fallback():
+    """Without landmarks but WITH a target image, sampling must bias to
+    foreground pixels (prevents density collapse on sparse objects)."""
+    s = TrainRaySampler(None, 64, 64)
+    rng = np.random.default_rng(5)
+    target = np.zeros((64, 64, 3), np.float32)
+    target[20:40, 20:40] = 0.8  # small foreground square
+    coords = s.sample(rng, 1000, None, None, 0, 0, target_img=target)
+    assert coords.shape == (1000, 2)
+    fg = ((coords[:, 0] >= 20) & (coords[:, 0] < 40)
+          & (coords[:, 1] >= 20) & (coords[:, 1] < 40)).mean()
+    assert fg > 0.5, f"foreground bias missing: {fg}"
+    # black target -> falls back to uniform without crashing
+    c2 = s.sample(rng, 100, None, None, 0, 0, target_img=np.zeros((64, 64, 3)))
+    assert c2.shape == (100, 2)
