@@ -76,6 +76,11 @@ def main(argv=None) -> None:
             occ_frac = float(jnp.mean(grid.occ))
             print(f"id {pid} exp {exp}: occupancy {occ_frac:.3f}")
 
+    if not grids:
+        raise SystemExit(
+            "nothing to export: no (identity, expression) pairs produced a grid "
+            "(check --max_persons / --expressions / datadir)"
+        )
     np.savez_compressed(
         args.out,
         resolution=args.resolution,

@@ -40,7 +40,9 @@ def main(argv=None) -> None:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--ngf", type=int, default=32)
     p.add_argument("--no_vgg_loss", action="store_true")
-    p.add_argument("--vgg_weights", default=None, help=".npz of converted VGG19 params")
+    p.add_argument("--vgg_weights", default=None,
+                   help="pickled pytree of converted VGG19 params "
+                        "(convert_torchvision_vgg19 output, pickle.dump'd)")
     p.add_argument("--continue_train", action="store_true")
     p.add_argument("--save_epoch_freq", type=int, default=1)
     p.add_argument("--display_freq", type=int, default=100)

@@ -230,7 +230,8 @@ def render_frame_fast(
     if hit_fraction < 1.0:
         hit = ray_aabb_hit(grid, ro_flat, rd_flat, spec.render.near, spec.render.far)
         order = jnp.argsort(~hit)  # hits first, stable
-        m = int(-(-int(n * hit_fraction) // p) * p)  # round budget up to packets
+        # round budget up to whole packets, clamped to the actual ray count
+        m = min(int(-(-int(n * hit_fraction) // p) * p), n)
         sel = order[:m]
         ro_flat = ro_flat[sel]
         rd_flat = rd_flat[sel]

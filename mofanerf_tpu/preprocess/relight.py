@@ -166,13 +166,7 @@ def relight_to_canonical(
     return relit, np.asarray(src_light).reshape(9)
 
 
-def _fold_bn(sd, prefix, eps=1e-5):
-    g = np.asarray(sd[f"{prefix}.weight"])
-    b = np.asarray(sd[f"{prefix}.bias"])
-    m = np.asarray(sd[f"{prefix}.running_mean"])
-    v = np.asarray(sd[f"{prefix}.running_var"])
-    scale = g / np.sqrt(v + eps)
-    return scale.astype(np.float32), (b - m * scale).astype(np.float32)
+from mofanerf_tpu.preprocess.bn_fold import fold_bn as _fold_bn  # noqa: E402
 
 
 def convert_hourglass_weights(state_dict: Dict[str, Any]) -> Dict[str, Any]:

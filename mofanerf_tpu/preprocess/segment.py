@@ -182,13 +182,7 @@ def face_mask_from_parsing(parse: np.ndarray, row_cut: int = 450) -> np.ndarray:
     return mask.astype(np.uint8)
 
 
-def _fold_bn(sd, prefix, eps=1e-5):
-    g = np.asarray(sd[f"{prefix}.weight"])
-    b = np.asarray(sd[f"{prefix}.bias"])
-    m = np.asarray(sd[f"{prefix}.running_mean"])
-    v = np.asarray(sd[f"{prefix}.running_var"])
-    scale = g / np.sqrt(v + eps)
-    return scale.astype(np.float32), (b - m * scale).astype(np.float32)
+from mofanerf_tpu.preprocess.bn_fold import fold_bn as _fold_bn  # noqa: E402
 
 
 def _convbn(sd, conv_key, bn_key):

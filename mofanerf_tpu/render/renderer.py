@@ -173,6 +173,11 @@ def render_rays(
     n = rays_o.shape[0]
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     de = fourier_embed(viewdirs, spec.coarse.multires_views)  # [N, 27]
+    # the fine field may use a different view-embedding bandwidth
+    de_fine = (
+        de if spec.fine.multires_views == spec.coarse.multires_views
+        else fourier_embed(viewdirs, spec.fine.multires_views)
+    )
 
     perturb = rc.perturb if train else 0.0
     noise_std = rc.raw_noise_std if train else 0.0
@@ -212,7 +217,7 @@ def render_rays(
 
         # --- fine pass
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
-        dirf_f = de @ params["fine"]["view"]["w_dirs"]
+        dirf_f = de_fine @ params["fine"]["view"]["w_dirs"]
         f = _run_field(
             params["fine"], spec.fine, cond.fine, pts, dirf_f, n_fine,
         )
@@ -263,6 +268,41 @@ def render_frame(
     return out
 
 
+_SHARDED_FRAME_CACHE: dict = {}
+
+
+def _sharded_frame_fn(spec: MoFaNeRF, mesh, p: int):
+    """Cached jitted shard_map render — rebuilding the closure per call
+    would defeat jit's identity-keyed cache and retrace every frame."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    key = (spec, id(mesh), p)
+    if key in _SHARDED_FRAME_CACHE:
+        return _SHARDED_FRAME_CACHE[key]
+
+    def per_device(params, cond, ro_local, rd_local):
+        ro_p = ro_local.reshape(-1, p, 3)
+        rd_p = rd_local.reshape(-1, p, 3)
+
+        def packet(args):
+            o, d = args
+            return render_rays(params, spec, cond, o, d, key=None, train=False)
+
+        return jax.lax.map(packet, (ro_p, rd_p))
+
+    f = jax.jit(
+        shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=P("data"),
+        )
+    )
+    _SHARDED_FRAME_CACHE[key] = f
+    return f
+
+
 def render_frame_sharded(
     params: Params,
     spec: MoFaNeRF,
@@ -292,24 +332,7 @@ def render_frame_sharded(
     rd = jnp.concatenate([rays_d.reshape(-1, 3), jnp.ones((n_pad, 3))], axis=0)
     rs = NamedSharding(mesh, P("data"))
 
-    def per_device(params, cond, ro_local, rd_local):
-        ro_p = ro_local.reshape(-1, p, 3)
-        rd_p = rd_local.reshape(-1, p, 3)
-
-        def packet(args):
-            o, d = args
-            return render_rays(params, spec, cond, o, d, key=None, train=False)
-
-        return jax.lax.map(packet, (ro_p, rd_p))
-
-    f = jax.jit(
-        shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(P(), P(), P("data"), P("data")),
-            out_specs=P("data"),
-        )
-    )
+    f = _sharded_frame_fn(spec, mesh, p)
     maps = f(params, cond, jax.device_put(ro, rs), jax.device_put(rd, rs))
     out = {}
     for k, v in maps.items():

@@ -37,6 +37,13 @@ MODULATION_EXPRESSIONS = [9, 14, 2, 16, 17]
 
 
 def save_fit_state(path: str, state: FitState) -> None:
+    """Codes + step in an npz, full optimizer state (Adam moments +
+    schedule counts) pickled alongside — the reference saves its three
+    optimizer state dicts too (run_fit.py:320-331); without them a resume
+    restarts the staged LR schedule at the base rate and perturbs the
+    converged codes."""
+    import pickle
+
     np.savez(
         path,
         shape=np.asarray(state.codes.shape),
@@ -46,6 +53,9 @@ def save_fit_state(path: str, state: FitState) -> None:
         light=np.asarray(state.codes.light),
         step=int(state.step),
     )
+    opt_np = jax.tree_util.tree_map(np.asarray, state.opt_state)
+    with open(str(path) + ".opt", "wb") as f:
+        pickle.dump(opt_np, f)
 
 
 def load_fit_codes(path: str) -> tuple:
@@ -58,6 +68,19 @@ def load_fit_codes(path: str) -> tuple:
         light=jnp.asarray(d["light"]),
     )
     return codes, int(d["step"])
+
+
+def load_fit_opt_state(path: str):
+    """Restore the pickled optimizer state saved next to the codes npz
+    (None if absent — old checkpoints)."""
+    import pickle
+
+    opt_path = str(path) + ".opt"
+    if not os.path.exists(opt_path):
+        return None
+    with open(opt_path, "rb") as f:
+        opt_np = pickle.load(f)
+    return jax.tree_util.tree_map(jnp.asarray, opt_np)
 
 
 def fit(
@@ -89,7 +112,12 @@ def fit(
     begin = 0
     if resume and os.path.exists(ckpt_path):
         codes, begin = load_fit_codes(ckpt_path)
-        state = FitState(codes, state.opt_state, jnp.asarray(begin, jnp.int32))
+        opt_state = load_fit_opt_state(ckpt_path)
+        if opt_state is None:
+            print("WARNING: resuming without optimizer state (old checkpoint); "
+                  "Adam moments and the LR schedule restart")
+            opt_state = state.opt_state
+        state = FitState(codes, opt_state, jnp.asarray(begin, jnp.int32))
 
     sampler = FitRaySampler(kp2d, cfg.H)
     step_jit = jax.jit(

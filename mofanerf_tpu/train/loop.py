@@ -87,6 +87,9 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
 
     uv_cache = {}
     rng = np.random.default_rng(seed + 1)
+    # separate generator for periodic eval renders: `rng` is consumed from
+    # the prefetch worker thread (numpy Generators are not thread-safe)
+    rng_eval = np.random.default_rng(seed + 2)
     i_train = ds.i_split[0]
     n_total = n_iters if n_iters is not None else cfg.n_iters
     t0 = time.time()
@@ -135,10 +138,10 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
             logger.note(f"checkpoint saved: {path}")
 
         if (i + 1) % cfg.i_testset == 0 and len(ds.i_split[2]) > 0:
-            _render_test_image(cfg, spec, state, ds, K, rng, exp_dir, i + 1, uv_cache)
+            _render_test_image(cfg, spec, state, ds, K, rng_eval, exp_dir, i + 1, uv_cache)
 
         if (i + 1) % cfg.i_video == 0:
-            _render_orbit_video(cfg, spec, state, ds, rng, exp_dir, i + 1, uv_cache)
+            _render_orbit_video(cfg, spec, state, ds, rng_eval, exp_dir, i + 1, uv_cache)
 
     save_checkpoint(ckpt_dir, state, n_total)
     logger.note("training finished")

@@ -185,3 +185,30 @@ def test_update_occupancy_grid_ema():
     assert diff < 1.0, diff
     # occupancy now reflects the (low-density random) field, not the stale init
     assert float(jnp.mean(g.occ)) < 1.0
+
+
+def test_frame_fast_budget_clamped_to_ray_count():
+    """Regression: a high hit_fraction on a frame smaller than one packet
+    used to round the budget past the ray count and crash on reshape."""
+    from mofanerf_tpu.ops.occupancy import render_frame_fast
+    from mofanerf_tpu.render.renderer import (
+        MoFaNeRF, RenderConfig, init_model_params, prepare_conditioning, exp_code_for,
+    )
+    from mofanerf_tpu.models.field import FieldConfig as FC
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    spec = MoFaNeRF(
+        coarse=FC(depth=8, width=16), fine=FC(depth=8, width=16),
+        render=RenderConfig(n_coarse=4, n_importance=4, packet_size=64),
+        uv_size=128,
+    )
+    params = init_model_params(jax.random.PRNGKey(0), spec)
+    cond = prepare_conditioning(params, spec, jnp.zeros(50), exp_code_for(params, 0),
+                                jnp.zeros(256))
+    grid = OccupancyGrid(jnp.ones((4, 4, 4), bool),
+                         jnp.asarray([-2.0] * 3), jnp.asarray([2.0] * 3))
+    K = jnp.asarray([[8.0, 0, 5], [0, 8.0, 5], [0, 0, 1]])
+    c2w = jnp.asarray(pose_spherical(0.0, 0.0, 16.0))[:3]
+    out = render_frame_fast(params, spec, cond.fine, grid, 10, 10, K, c2w,
+                            s_probe=8, k_keep=4, hit_fraction=0.99)
+    assert out["rgb"].shape == (10, 10, 3)
