@@ -235,6 +235,26 @@ def apply_field_folded(
     return raw_rgb, raw_sigma
 
 
+def apply_field_sigma(
+    params: Params,
+    cond: Params,
+    pts_embed: jnp.ndarray,  # [N, pts_embed_dim]
+    cfg: FieldConfig,
+) -> jnp.ndarray:
+    """Density-only apply: xyz encoder + sigma trunk + alpha head, skipping
+    the rgb trunk and view head (~half the FLOPs). Used by occupancy-grid
+    probing, where only sigma matters."""
+    dt = cfg.compute_dtype
+    x = pts_embed.astype(dt)
+    xyz = params["xyz"]
+    h = jax.nn.relu(x @ xyz["w_pts"].astype(dt) + cond["xyz_b"].astype(dt))
+    for layer in xyz["layers"]:
+        h = jax.nn.relu(h @ layer["w"].astype(dt) + layer["b"].astype(dt))
+    s = params["sigma"]
+    sigma_feat = _trunk_apply(s, h, cond["sigma_b0"], cond["sigma_bskip"], dt)
+    return sigma_feat @ s["alpha"]["w"].astype(dt) + s["alpha"]["b"].astype(dt)
+
+
 def apply_field(
     params: Params,
     pts: jnp.ndarray,        # [N, 3]

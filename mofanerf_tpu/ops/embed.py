@@ -30,7 +30,8 @@ def fourier_embed(x: jnp.ndarray, num_freqs: int, include_input: bool = True) ->
     4 for view dirs -> 27 dims; tools/config_parser.py:53-56).
     """
     if num_freqs == 0:
-        return x
+        # honor include_input so the output always matches embed_dim()
+        return x if include_input else x[..., :0]
     # 2 ** linspace(0, num_freqs - 1, num_freqs) — log-sampled bands.
     freqs = np.exp2(np.linspace(0.0, num_freqs - 1, num_freqs)).astype(np.float32)
     # [..., D, 1] * [F] -> [..., D, F]

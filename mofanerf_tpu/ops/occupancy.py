@@ -27,7 +27,7 @@ from typing import Any, Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mofanerf_tpu.models.field import FieldConfig, apply_field_folded
+from mofanerf_tpu.models.field import FieldConfig, apply_field_folded, apply_field_sigma
 from mofanerf_tpu.ops.embed import fourier_embed
 from mofanerf_tpu.ops.composite import composite
 from mofanerf_tpu.ops.sampling import stratified_z_vals
@@ -80,14 +80,11 @@ def probe_density(
     zs = lo[2] + t * (hi[2] - lo[2])
     X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
     pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
-    w2 = cfg.width // 2
-    dirf = jnp.zeros((1, w2))
 
     def probe(p):
         pe = fourier_embed(p, cfg.multires)
-        df = jnp.broadcast_to(dirf, (p.shape[0], w2))
-        _, raw_sigma = apply_field_folded(params, cond, pe, df, cfg)
-        return raw_sigma[:, 0]
+        # sigma-only apply: skips the rgb trunk + view head (~2x cheaper)
+        return apply_field_sigma(params, cond, pe, cfg)[:, 0]
 
     n = pts.shape[0]
     c = min(chunk, n)
@@ -253,13 +250,19 @@ def render_frame_fast(
         )
 
     maps = jax.lax.map(packet, (ro, rd))
-    bg = 1.0 if spec.render.white_bkgd else 0.0
+    # background fills match composite()'s values for an all-empty ray so
+    # disp/acc/depth are budget-invariant (disp of an empty ray is 1e10)
+    bg_fill = {
+        "rgb": 1.0 if spec.render.white_bkgd else 0.0,
+        "disp": 1e10,
+        "acc": 0.0,
+        "depth": 0.0,
+    }
     out = {}
     for k, v in maps.items():
         flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n_eval]
         if sel is not None:
-            fill = bg if k == "rgb" else 0.0
-            full = jnp.full((n,) + flat.shape[1:], fill, flat.dtype)
+            full = jnp.full((n,) + flat.shape[1:], bg_fill.get(k, 0.0), flat.dtype)
             full = full.at[sel].set(flat)
         else:
             full = flat

@@ -102,16 +102,18 @@ def _rot_theta(th):
 
 
 def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
-    """Spherical orbit camera pose (tools/load_facescape.py:33-38).
+    """Spherical orbit camera pose in the FACESCAPE world frame
+    (tools/load_facescape.py:33-38): (0, 0, r) puts the camera frontal at
+    +z looking down -z; theta = azimuth about y, phi = elevation about x.
 
-    theta = azimuth (deg), phi = elevation (deg), radius in world units.
+    NOTE: deliberately does NOT apply the Blender-NeRF world flip that the
+    original NeRF's pose_spherical uses — FaceScape transforms are written
+    without it, and applying it would orbit real identities around the
+    wrong axis.
+
     Returns a [4,4] c2w numpy matrix (host-side; poses are data, not compute).
     """
     c2w = _trans_t(radius)
     c2w = _rot_phi(phi_deg / 180.0 * np.pi) @ c2w
     c2w = _rot_theta(theta_deg / 180.0 * np.pi) @ c2w
-    c2w = (
-        np.array([[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], dtype=np.float32)
-        @ c2w
-    )
     return c2w

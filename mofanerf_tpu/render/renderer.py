@@ -224,6 +224,8 @@ def render_rays(
         cf = composite(f[0], f[1], z_all, rays_d, noise_std, rc.white_bkgd, k_noise_f)
         out["rgb"], out["disp"], out["acc"] = cf.rgb, cf.disp, cf.acc
         out["depth"] = cf.depth
+        # ddof=0 matches the reference's torch.std(..., unbiased=False)
+        # (models/render_class.py:345)
         out["z_std"] = jnp.std(z_samples, axis=-1)
     else:
         out["rgb"], out["disp"], out["acc"] = c.rgb, c.disp, c.acc
@@ -277,7 +279,9 @@ def _sharded_frame_fn(spec: MoFaNeRF, mesh, p: int):
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
-    key = (spec, id(mesh), p)
+    # Mesh is hashable: equal-but-distinct Mesh objects hit the same entry
+    # (keying by id() would recompile per rebuilt mesh and pin dead meshes).
+    key = (spec, mesh, p)
     if key in _SHARDED_FRAME_CACHE:
         return _SHARDED_FRAME_CACHE[key]
 

@@ -212,3 +212,49 @@ def test_frame_fast_budget_clamped_to_ray_count():
     out = render_frame_fast(params, spec, cond.fine, grid, 10, 10, K, c2w,
                             s_probe=8, k_keep=4, hit_fraction=0.99)
     assert out["rgb"].shape == (10, 10, 3)
+
+
+def test_frame_fast_background_disp_budget_invariant():
+    """disp for rays missing the AABB must be identical whether or not the
+    frame-level compaction path handled them."""
+    from mofanerf_tpu.ops.occupancy import render_frame_fast
+    from mofanerf_tpu.render.renderer import (
+        MoFaNeRF, RenderConfig, init_model_params, prepare_conditioning, exp_code_for,
+    )
+    from mofanerf_tpu.models.field import FieldConfig as FC
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    spec = MoFaNeRF(
+        coarse=FC(depth=8, width=16), fine=FC(depth=8, width=16),
+        render=RenderConfig(n_coarse=4, n_importance=4, packet_size=32),
+        uv_size=128,
+    )
+    params = init_model_params(jax.random.PRNGKey(0), spec)
+    cond = prepare_conditioning(params, spec, jnp.zeros(50), exp_code_for(params, 0),
+                                jnp.zeros(256))
+    grid = OccupancyGrid(jnp.ones((4, 4, 4), bool),
+                         jnp.asarray([-1.0] * 3), jnp.asarray([1.0] * 3))
+    K = jnp.asarray([[4.0, 0, 8], [0, 4.0, 8], [0, 0, 1]])  # wide FOV: corners miss
+    c2w = jnp.asarray(pose_spherical(0.0, 0.0, 16.0))[:3]
+    full = render_frame_fast(params, spec, cond.fine, grid, 16, 16, K, c2w,
+                             s_probe=8, k_keep=4, hit_fraction=1.0)
+    comp = render_frame_fast(params, spec, cond.fine, grid, 16, 16, K, c2w,
+                             s_probe=8, k_keep=4, hit_fraction=0.5)
+    bg = np.asarray(comp["acc"]) == 0
+    assert bg.any()
+    np.testing.assert_allclose(np.asarray(comp["disp"])[bg],
+                               np.asarray(full["disp"])[bg])
+
+
+def test_pose_spherical_facescape_frame():
+    """(0,0,r) is a frontal camera at +z in the FaceScape frame — no
+    Blender world flip (tools/load_facescape.py:33-38)."""
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    c2w = pose_spherical(0.0, 0.0, 16.0)
+    np.testing.assert_allclose(c2w[:3, 3], [0, 0, 16.0], atol=1e-6)
+    np.testing.assert_allclose(c2w[:3, :3], np.eye(3), atol=1e-6)
+    # azimuth rotates about y: camera x moves, height unchanged
+    c2 = pose_spherical(90.0, 0.0, 16.0)
+    np.testing.assert_allclose(abs(c2[0, 3]), 16.0, atol=1e-4)
+    np.testing.assert_allclose(c2[1, 3], 0.0, atol=1e-6)
