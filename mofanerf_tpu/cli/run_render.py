@@ -68,9 +68,21 @@ def main(argv=None) -> None:
         [pose_spherical(a, 0.0, 16.0) for a in np.linspace(-180, 180, args.n_views + 1)[:-1]]
     )
     if args.fast:
-        from mofanerf_tpu.ops.occupancy import build_occupancy_grid, render_frame_fast
+        from mofanerf_tpu.ops.occupancy import (
+            build_occupancy_grid,
+            load_grid,
+            render_frame_fast,
+        )
 
-        grid = build_occupancy_grid(params["fine"], spec.fine, cond.fine)
+        # prefer the grid maintained during training (train/loop.py saves it
+        # beside the checkpoints) — no manual export step needed; fall back
+        # to probing a fresh per-avatar grid.
+        grid_path = os.path.join(ckpt_dir, "occupancy_grid.npz")
+        if os.path.exists(grid_path):
+            grid, _ = load_grid(grid_path)
+            print(f"using training-maintained occupancy grid: {grid_path}")
+        else:
+            grid = build_occupancy_grid(params["fine"], spec.fine, cond.fine)
         rf = max(1, args.render_factor)
         H = W = 512 // rf
         Kr = jnp.asarray(

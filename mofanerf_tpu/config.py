@@ -54,6 +54,19 @@ class Config:
     precrop_iters: int = 500
     precrop_frac: float = 0.5
     n_iters: int = 600000
+    # landmark-bias anneal (see data/landmarks.py::anneal_lm_frac): ramp the
+    # biased fraction 0 -> lm_frac over lm_frac_anneal_iters steps
+    lm_frac: float = 0.6
+    lm_frac_anneal_iters: int = 10000
+
+    # training-time occupancy-grid maintenance (ops/occupancy.py): EMA
+    # re-probe every i_grid steps; grid_warmup delays the first probe until
+    # the field has structure. i_grid = 0 disables maintenance.
+    i_grid: int = 500
+    grid_warmup: int = 1000
+    grid_resolution: int = 64
+    grid_density_threshold: float = 1.0
+    grid_ema_decay: float = 0.95
 
     # rendering
     N_samples: int = 64

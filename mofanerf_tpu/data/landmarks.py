@@ -27,6 +27,23 @@ from typing import Optional
 import numpy as np
 
 
+def anneal_lm_frac(i: int, target: float, anneal_iters: int) -> float:
+    """Landmark-bias fraction schedule: ramp 0 -> `target` linearly over the
+    first `anneal_iters` steps.
+
+    Rationale: a fixed high bias from step 0 starves background supervision
+    while the field is still near-uniform, and at flagship width the field
+    fills space with fog (acc=1 everywhere) instead of carving it out — the
+    failure observed on the toy scene. Early-uniform sampling first teaches
+    the field where EMPTY space is, after which the bias concentrates
+    gradient on the face. Same shape as the reference's precrop anneal
+    (run_train.py:308-318: crop for precrop_iters, then full frame) applied
+    to the sampling distribution instead of the crop window."""
+    if anneal_iters <= 0:
+        return target
+    return target * min(1.0, i / anneal_iters)
+
+
 def project_landmarks(lm3d: np.ndarray, K: np.ndarray, c2w: np.ndarray) -> np.ndarray:
     """Project [68,3] world landmarks into (row, col) pixels with the same
     camera convention as ops.rays.get_rays (camera looks down -z, y up)."""
@@ -63,9 +80,13 @@ class TrainRaySampler:
         exp: int,
         precrop_frac: Optional[float] = None,
         target_img: Optional[np.ndarray] = None,
+        lm_frac: Optional[float] = None,
     ) -> np.ndarray:
-        """Return [n, 2] int32 (row, col) coordinates."""
+        """Return [n, 2] int32 (row, col) coordinates. `lm_frac` overrides
+        the constructor default for this call (used by the training loop's
+        anneal schedule, see `anneal_lm_frac`)."""
         H, W = self.H, self.W
+        frac = self.lm_frac if lm_frac is None else lm_frac
         if precrop_frac:
             dH, dW = int(H // 2 * precrop_frac), int(W // 2 * precrop_frac)
             rows = rng.integers(H // 2 - dH, H // 2 + dH, n)
@@ -86,7 +107,7 @@ class TrainRaySampler:
             if target_img is not None:
                 fg_r, fg_c = np.nonzero(np.asarray(target_img).sum(-1) > 0.02)
                 if fg_r.shape[0] > 0:
-                    n_fg = int(n * self.lm_frac)
+                    n_fg = int(n * frac)
                     pick = rng.integers(0, fg_r.shape[0], n_fg)
                     fg = np.stack([fg_r[pick], fg_c[pick]], -1)
                     uni = np.stack(
@@ -99,7 +120,7 @@ class TrainRaySampler:
 
         lm3d = self.landmarks[person_id, exp]
         lm2d = project_landmarks(lm3d, K, pose)
-        per_lm = int(n * self.lm_frac) // 68
+        per_lm = int(n * frac) // 68
         sigma = H * 0.025
         jitter = rng.standard_normal((68, per_lm, 2)) * sigma
         lm_samples = (lm2d[:, None, :] + jitter).reshape(-1, 2)

@@ -177,6 +177,39 @@ def render_rays_occupancy(
     return {"rgb": c.rgb, "disp": c.disp, "acc": c.acc, "depth": c.depth}
 
 
+def save_grid(path: str, grid: OccupancyGrid, density_ema=None) -> None:
+    """Persist a grid (+ optional EMA density carry) as a compressed npz —
+    the training loop's sidecar checkpoint format."""
+    import numpy as np
+
+    G = grid.occ.shape[0]
+    arrs = dict(
+        resolution=G,
+        occ=np.packbits(np.asarray(grid.occ)),
+        aabb_min=np.asarray(grid.aabb_min),
+        aabb_max=np.asarray(grid.aabb_max),
+    )
+    if density_ema is not None:
+        arrs["density_ema"] = np.asarray(density_ema, np.float32)
+    np.savez_compressed(path, **arrs)
+
+
+def load_grid(path: str):
+    """Inverse of save_grid. Returns (OccupancyGrid, density_ema | None)."""
+    import numpy as np
+
+    d = np.load(path)
+    G = int(d["resolution"])
+    bits = np.unpackbits(d["occ"])[: G ** 3]
+    grid = OccupancyGrid(
+        jnp.asarray(bits.reshape(G, G, G).astype(bool)),
+        jnp.asarray(d["aabb_min"]),
+        jnp.asarray(d["aabb_max"]),
+    )
+    ema = jnp.asarray(d["density_ema"]) if "density_ema" in d else None
+    return grid, ema
+
+
 def ray_aabb_hit(
     grid: OccupancyGrid, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     near: float, far: float,
@@ -191,6 +224,31 @@ def ray_aabb_hit(
     return (tmax >= tmin) & (tmax >= near) & (tmin <= far)
 
 
+HIT_BUDGET_BUCKETS = (0.25, 0.5, 0.75, 1.0)
+
+
+def auto_hit_fraction(
+    grid: OccupancyGrid,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    buckets=HIT_BUDGET_BUCKETS,
+) -> float:
+    """Pick the smallest compaction budget that covers this frame's TRUE
+    AABB hit count. The slab test is pure arithmetic (no MLP), so the count
+    is computable on the host per frame for the cost of one tiny readback;
+    bucketing it to a few canonical fractions keeps the number of compiled
+    frame programs bounded (static shapes) while guaranteeing no foreground
+    ray is ever dropped to background."""
+    hit = ray_aabb_hit(grid, rays_o, rays_d, near, far)
+    frac = float(jnp.mean(hit))
+    for b in sorted(buckets):
+        if frac <= b:
+            return b
+    return 1.0
+
+
 def render_frame_fast(
     params: Params,
     spec,                      # render.renderer.MoFaNeRF
@@ -202,7 +260,7 @@ def render_frame_fast(
     c2w: jnp.ndarray,
     s_probe: int = 64,
     k_keep: int = 32,
-    hit_fraction: float = 1.0,
+    hit_fraction: float | None = None,
 ):
     """Full-frame occupancy-culled render (production path): fixed-size ray
     packets swept with lax.map, fine field only.
@@ -213,9 +271,14 @@ def render_frame_fast(
     through the field, and results scatter back to pixel order with the
     remainder rendered as background. On face frames where ~half the rays
     miss the head AABB this roughly halves the MLP work again. Static
-    shapes throughout: hit_fraction is a compile-time budget, and frames
-    whose true hit count exceeds it lose the overflow rays to background
-    (choose the budget per camera setup)."""
+    shapes throughout: hit_fraction is a compile-time budget.
+
+    hit_fraction=None (default) auto-budgets: the frame's true hit count is
+    measured with the slab test and bucketed up to the next canonical
+    fraction (HIT_BUDGET_BUCKETS), so no frame can silently lose foreground
+    rays and at most len(buckets) frame programs ever compile. Pass an
+    explicit fraction only when you control the camera framing and want a
+    single compiled shape."""
     from mofanerf_tpu.ops.rays import get_rays
 
     rays_o, rays_d = get_rays(H, W, K, c2w)
@@ -223,6 +286,11 @@ def render_frame_fast(
     p = min(spec.render.packet_size, n)
     ro_flat = rays_o.reshape(-1, 3)
     rd_flat = rays_d.reshape(-1, 3)
+
+    if hit_fraction is None:
+        hit_fraction = auto_hit_fraction(
+            grid, ro_flat, rd_flat, spec.render.near, spec.render.far
+        )
 
     if hit_fraction < 1.0:
         hit = ray_aabb_hit(grid, ro_flat, rd_flat, spec.render.near, spec.render.far)

@@ -30,7 +30,13 @@ from mofanerf_tpu.data.facescape import (
     read_image,
     valid_persons,
 )
-from mofanerf_tpu.data.landmarks import TrainRaySampler
+from mofanerf_tpu.data.landmarks import TrainRaySampler, anneal_lm_frac
+from mofanerf_tpu.ops.occupancy import (
+    OccupancyGrid,
+    load_grid,
+    save_grid,
+    update_occupancy_grid,
+)
 from mofanerf_tpu.ops.rays import get_rays_at
 from mofanerf_tpu.render.renderer import (
     prepare_conditioning,
@@ -73,7 +79,7 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
     if os.path.exists(cfg.landmarks_path):
         # world units: raw landmarks / 50 (run_train.py:121)
         landmarks = np.load(cfg.landmarks_path) / 50.0
-    sampler = TrainRaySampler(landmarks, H, W)
+    sampler = TrainRaySampler(landmarks, H, W, lm_frac=cfg.lm_frac)
 
     state = create_train_state(jax.random.PRNGKey(seed), spec, cfg.lrate, cfg.lrate_decay)
     tx = make_optimizer(cfg.lrate, cfg.lrate_decay)
@@ -84,6 +90,38 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
         logger.note(f"resumed from checkpoint at step {start}")
 
     step_fn = jax.jit(lambda s, b, k: train_step(s, b, k, spec, tx))
+
+    # --- training-time occupancy-grid maintenance (NerfAcc-style EMA): the
+    # production fast-render path needs a density grid; maintaining it on an
+    # interval during training (instead of a manual export step afterwards)
+    # keeps it current and checkpoints it beside the train state. The EMA
+    # max-union across the per-step conditioning means the grid converges to
+    # a conservative superset over all trained identities/expressions.
+    grid, density_ema, grid_update_fn = None, None, None
+    grid_path = os.path.join(ckpt_dir, "occupancy_grid.npz")
+    if cfg.i_grid > 0:
+        G = cfg.grid_resolution
+        grid = OccupancyGrid(
+            jnp.zeros((G, G, G), bool), jnp.asarray([-5.0] * 3), jnp.asarray([5.0] * 3)
+        )
+        density_ema = jnp.zeros((G ** 3,), jnp.float32)
+        if start > 0 and os.path.exists(grid_path):
+            grid, ema = load_grid(grid_path)
+            if ema is not None:
+                density_ema = ema
+            logger.note("resumed occupancy grid")
+
+        @jax.jit
+        def grid_update_fn(params, batch, grid, ema):
+            tex = encode_texture(params, spec, batch.uv_map)
+            c = prepare_conditioning(
+                params, spec, batch.shape_code,
+                exp_code_for(params, batch.exp_type), tex,
+            )
+            return update_occupancy_grid(
+                grid, ema, params["fine"], spec.fine, c.fine,
+                cfg.grid_ema_decay, cfg.grid_density_threshold,
+            )
 
     uv_cache = {}
     rng = np.random.default_rng(seed + 1)
@@ -107,6 +145,7 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
         coords = sampler.sample(
             rng, cfg.N_rand, K, pose, pid, int(ds.exp_types[img_i]),
             precrop_frac=precrop, target_img=target,
+            lm_frac=anneal_lm_frac(i, cfg.lm_frac, cfg.lm_frac_anneal_iters),
         )
         rays_o, rays_d = get_rays_at(
             jnp.asarray(coords, jnp.float32), jnp.asarray(K), jnp.asarray(pose)
@@ -126,6 +165,13 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
     for i, batch in zip(range(start, n_total), batches):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(seed * 1_000_003 + i))
 
+        if (
+            grid_update_fn is not None
+            and (i + 1) >= cfg.grid_warmup
+            and (i + 1) % cfg.i_grid == 0
+        ):
+            grid, density_ema = grid_update_fn(state.params, batch, grid, density_ema)
+
         if (i + 1) % cfg.i_print == 0:
             loss = float(metrics["loss"])
             psnr = float(metrics["psnr"])
@@ -135,6 +181,8 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
 
         if (i + 1) % cfg.i_weights == 0:
             path = save_checkpoint(ckpt_dir, state, i + 1)
+            if grid is not None:
+                save_grid(grid_path, grid, density_ema)
             logger.note(f"checkpoint saved: {path}")
 
         if (i + 1) % cfg.i_testset == 0 and len(ds.i_split[2]) > 0:
@@ -144,6 +192,8 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
             _render_orbit_video(cfg, spec, state, ds, rng_eval, exp_dir, i + 1, uv_cache)
 
     save_checkpoint(ckpt_dir, state, n_total)
+    if grid is not None:
+        save_grid(grid_path, grid, density_ema)
     logger.note("training finished")
 
 

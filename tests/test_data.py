@@ -134,3 +134,33 @@ def test_train_sampler_foreground_fallback():
     # black target -> falls back to uniform without crashing
     c2 = s.sample(rng, 100, None, None, 0, 0, target_img=np.zeros((64, 64, 3)))
     assert c2.shape == (100, 2)
+
+
+def test_anneal_lm_frac_schedule():
+    from mofanerf_tpu.data.landmarks import anneal_lm_frac
+
+    assert anneal_lm_frac(0, 0.6, 1000) == 0.0
+    assert abs(anneal_lm_frac(500, 0.6, 1000) - 0.3) < 1e-9
+    assert anneal_lm_frac(1000, 0.6, 1000) == 0.6
+    assert anneal_lm_frac(99999, 0.6, 1000) == 0.6
+    # disabled anneal jumps straight to the target
+    assert anneal_lm_frac(0, 0.6, 0) == 0.6
+
+
+def test_train_sampler_lm_frac_override():
+    """lm_frac=0 (anneal start) must yield a pure-uniform draw even with
+    landmarks present; lm_frac near 1 concentrates on them."""
+    H = W = 64
+    lm = np.zeros((1, 1, 68, 3), np.float32)  # all landmarks at the origin
+    K = np.array([[64.0, 0, 32], [0, 64.0, 32], [0, 0, 1]])
+    pose = np.asarray(pose_spherical(0.0, 0.0, 4.0))
+    s = TrainRaySampler(lm, H, W, lm_frac=0.6)
+    rng = np.random.default_rng(7)
+
+    c0 = s.sample(rng, 1000, K, pose, 0, 0, lm_frac=0.0)
+    center0 = ((np.abs(c0[:, 0] - 32) < 8) & (np.abs(c0[:, 1] - 32) < 8)).mean()
+    assert center0 < 0.15, f"lm_frac=0 should be uniform, got center {center0}"
+
+    c1 = s.sample(rng, 1000, K, pose, 0, 0, lm_frac=0.95)
+    center1 = ((np.abs(c1[:, 0] - 32) < 8) & (np.abs(c1[:, 1] - 32) < 8)).mean()
+    assert center1 > 0.7, f"lm_frac=0.95 should concentrate, got {center1}"

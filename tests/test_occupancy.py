@@ -258,3 +258,104 @@ def test_pose_spherical_facescape_frame():
     c2 = pose_spherical(90.0, 0.0, 16.0)
     np.testing.assert_allclose(abs(c2[0, 3]), 16.0, atol=1e-4)
     np.testing.assert_allclose(c2[1, 3], 0.0, atol=1e-6)
+
+
+def test_auto_hit_fraction_buckets():
+    from mofanerf_tpu.ops.occupancy import auto_hit_fraction
+
+    grid = OccupancyGrid(jnp.ones((4, 4, 4), bool),
+                         jnp.asarray([-2.0] * 3), jnp.asarray([2.0] * 3))
+    # all rays converge on the box -> full budget
+    ro = jnp.tile(jnp.asarray([[0.0, 0, 16]]), (64, 1))
+    rd = jnp.tile(jnp.asarray([[0.0, 0, -1]]), (64, 1))
+    assert auto_hit_fraction(grid, ro, rd, 8.0, 26.0) == 1.0
+    # half hit, half miss -> 0.5 bucket
+    rd2 = jnp.concatenate([rd[:32], jnp.tile(jnp.asarray([[0.0, 0, 1.0]]), (32, 1))])
+    assert auto_hit_fraction(grid, ro, rd2, 8.0, 26.0) == 0.5
+    # a couple of hits -> smallest bucket
+    rd3 = jnp.concatenate([rd[:4], jnp.tile(jnp.asarray([[0.0, 0, 1.0]]), (60, 1))])
+    assert auto_hit_fraction(grid, ro, rd3, 8.0, 26.0) == 0.25
+
+
+def test_frame_fast_auto_budget_never_drops_foreground():
+    """Close-up framing (every ray hits the AABB) used to silently lose
+    rays under a static 0.5 budget; auto-budgeting must match the
+    uncompacted render exactly."""
+    from mofanerf_tpu.ops.occupancy import render_frame_fast
+    from mofanerf_tpu.render.renderer import (
+        MoFaNeRF, RenderConfig, init_model_params, prepare_conditioning, exp_code_for,
+    )
+    from mofanerf_tpu.models.field import FieldConfig as FC
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    spec = MoFaNeRF(
+        coarse=FC(depth=8, width=16), fine=FC(depth=8, width=16),
+        render=RenderConfig(n_coarse=4, n_importance=4, packet_size=32),
+        uv_size=128,
+    )
+    params = init_model_params(jax.random.PRNGKey(0), spec)
+    cond = prepare_conditioning(params, spec, jnp.zeros(50), exp_code_for(params, 0),
+                                jnp.zeros(256))
+    # huge AABB: the whole frame is foreground (close-up framing)
+    grid = OccupancyGrid(jnp.ones((4, 4, 4), bool),
+                         jnp.asarray([-30.0] * 3), jnp.asarray([30.0] * 3))
+    K = jnp.asarray([[8.0, 0, 8], [0, 8.0, 8], [0, 0, 1]])
+    c2w = jnp.asarray(pose_spherical(0.0, 0.0, 16.0))[:3]
+    full = render_frame_fast(params, spec, cond.fine, grid, 16, 16, K, c2w,
+                             s_probe=8, k_keep=4, hit_fraction=1.0)
+    auto = render_frame_fast(params, spec, cond.fine, grid, 16, 16, K, c2w,
+                             s_probe=8, k_keep=4)  # hit_fraction=None -> auto
+    # auto must pick the full budget (every ray hits) -> bit-identical output,
+    # no ray routed through the background fill
+    np.testing.assert_array_equal(np.asarray(auto["rgb"]), np.asarray(full["rgb"]))
+    np.testing.assert_array_equal(np.asarray(auto["acc"]), np.asarray(full["acc"]))
+
+
+def test_grid_save_load_roundtrip(tmp_path):
+    from mofanerf_tpu.ops.occupancy import save_grid, load_grid
+
+    G = 8
+    rng = np.random.default_rng(0)
+    occ = jnp.asarray(rng.random((G, G, G)) < 0.3)
+    grid = OccupancyGrid(occ, jnp.asarray([-5.0] * 3), jnp.asarray([5.0] * 3))
+    ema = jnp.asarray(rng.random(G ** 3).astype(np.float32))
+    path = str(tmp_path / "grid.npz")
+    save_grid(path, grid, ema)
+    g2, ema2 = load_grid(path)
+    np.testing.assert_array_equal(np.asarray(g2.occ), np.asarray(grid.occ))
+    np.testing.assert_allclose(np.asarray(ema2), np.asarray(ema))
+    np.testing.assert_allclose(np.asarray(g2.aabb_min), -5.0)
+    # without ema
+    save_grid(str(tmp_path / "g2.npz"), grid)
+    g3, ema3 = load_grid(str(tmp_path / "g2.npz"))
+    assert ema3 is None
+    np.testing.assert_array_equal(np.asarray(g3.occ), np.asarray(grid.occ))
+
+
+def test_grid_tracks_moving_density():
+    """EMA maintenance must follow a density field that changes over
+    training: occupancy grows when the field turns dense and decays back
+    to empty (after the EMA drains) when it turns transparent."""
+    from mofanerf_tpu.ops.occupancy import update_occupancy_grid
+
+    params, cond, _, _ = _setup()
+    G = 8
+    grid = OccupancyGrid(jnp.zeros((G, G, G), bool),
+                         jnp.asarray([-5.0] * 3), jnp.asarray([5.0] * 3))
+    ema = jnp.zeros((G ** 3,), jnp.float32)
+
+    # phase 1: field turns dense everywhere (alpha head bias pushed up)
+    dense = jax.tree_util.tree_map(lambda x: x, params)
+    dense["sigma"]["alpha"]["b"] = params["sigma"]["alpha"]["b"] + 100.0
+    grid, ema = update_occupancy_grid(grid, ema, dense, CFG, cond,
+                                      decay=0.5, density_threshold=10.0)
+    assert bool(grid.occ.all()), "grid did not pick up the dense field"
+
+    # phase 2: field turns transparent; repeated updates decay occupancy away
+    clear = jax.tree_util.tree_map(lambda x: x, params)
+    clear["sigma"]["alpha"]["b"] = params["sigma"]["alpha"]["b"] - 1000.0
+    clear["sigma"]["alpha"]["w"] = params["sigma"]["alpha"]["w"] * 0.0
+    for _ in range(8):
+        grid, ema = update_occupancy_grid(grid, ema, clear, CFG, cond,
+                                          decay=0.5, density_threshold=10.0)
+    assert not bool(grid.occ.any()), "grid did not decay after density left"

@@ -65,3 +65,41 @@ def test_train_loop_resume(tmp_path):
     train(cfg, n_iters=5)
     log = (tmp_path / "logs" / "resume" / "train_log.txt").read_text()
     assert "resumed from checkpoint at step 3" in log
+
+
+def test_train_loop_maintains_occupancy_grid(tmp_path):
+    """i_grid maintenance fires during training and the grid sidecar is
+    checkpointed beside the train state and resumed."""
+    from mofanerf_tpu.train.loop import train
+    from mofanerf_tpu.ops.occupancy import load_grid
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=1, n_train=2, n_test=1, hw=16)
+    cfg = Config(
+        expname="gridsmoke",
+        basedir=str(tmp_path / "logs"),
+        datadir=str(data_dir),
+        uvdir=str(data_dir / "uv"),
+        shape_codes_path=str(data_dir / "factors_id.npy"),
+        landmarks_path=str(data_dir / "landmarks.npy"),
+        person_num=1,
+        netdepth=8, netwidth=16, netdepth_fine=8, netwidth_fine=16,
+        N_rand=8, N_samples=4, N_importance=4,
+        precrop_iters=0, i_print=100, i_weights=4, i_testset=100,
+        compute_dtype="float32", packet_size=64, testskip=1,
+        i_grid=2, grid_warmup=2, grid_resolution=8,
+        grid_density_threshold=0.0,
+    )
+    train(cfg, n_iters=4)
+    grid_path = tmp_path / "logs" / "gridsmoke" / "checkpoints" / "occupancy_grid.npz"
+    assert grid_path.exists(), "grid sidecar not saved"
+    grid, ema = load_grid(str(grid_path))
+    assert grid.occ.shape == (8, 8, 8)
+    assert ema is not None and ema.shape == (512,)
+    # threshold 0 + a fresh random field: some density probes exceed it
+    assert float(ema.max()) > 0.0
+
+    # resume path reloads the sidecar
+    train(cfg, n_iters=6)
+    log = (tmp_path / "logs" / "gridsmoke" / "train_log.txt").read_text()
+    assert "resumed occupancy grid" in log
