@@ -31,6 +31,7 @@ from mofanerf_tpu.models.field import FieldConfig, apply_field_folded, apply_fie
 from mofanerf_tpu.ops.embed import fourier_embed
 from mofanerf_tpu.ops.composite import composite
 from mofanerf_tpu.ops.sampling import stratified_z_vals
+from mofanerf_tpu.ops.sweep import HIT_BUDGET_BUCKETS, bucket_fraction, sweep_frame
 
 Params = Dict[str, Any]
 
@@ -224,9 +225,6 @@ def ray_aabb_hit(
     return (tmax >= tmin) & (tmax >= near) & (tmin <= far)
 
 
-HIT_BUDGET_BUCKETS = (0.25, 0.5, 0.75, 1.0)
-
-
 def auto_hit_fraction(
     grid: OccupancyGrid,
     rays_o: jnp.ndarray,
@@ -242,11 +240,7 @@ def auto_hit_fraction(
     frame programs bounded (static shapes) while guaranteeing no foreground
     ray is ever dropped to background."""
     hit = ray_aabb_hit(grid, rays_o, rays_d, near, far)
-    frac = float(jnp.mean(hit))
-    for b in sorted(buckets):
-        if frac <= b:
-            return b
-    return 1.0
+    return bucket_fraction(float(jnp.mean(hit)), buckets)
 
 
 def render_frame_fast(
@@ -279,60 +273,17 @@ def render_frame_fast(
     rays and at most len(buckets) frame programs ever compile. Pass an
     explicit fraction only when you control the camera framing and want a
     single compiled shape."""
-    from mofanerf_tpu.ops.rays import get_rays
 
-    rays_o, rays_d = get_rays(H, W, K, c2w)
-    n = H * W
-    p = min(spec.render.packet_size, n)
-    ro_flat = rays_o.reshape(-1, 3)
-    rd_flat = rays_d.reshape(-1, 3)
-
-    if hit_fraction is None:
-        hit_fraction = auto_hit_fraction(
-            grid, ro_flat, rd_flat, spec.render.near, spec.render.far
-        )
-
-    if hit_fraction < 1.0:
-        hit = ray_aabb_hit(grid, ro_flat, rd_flat, spec.render.near, spec.render.far)
-        order = jnp.argsort(~hit)  # hits first, stable
-        # round budget up to whole packets, clamped to the actual ray count
-        m = min(int(-(-int(n * hit_fraction) // p) * p), n)
-        sel = order[:m]
-        ro_flat = ro_flat[sel]
-        rd_flat = rd_flat[sel]
-        n_eval = m
-    else:
-        sel = None
-        n_eval = n
-
-    n_pad = (-n_eval) % p
-    ro = jnp.concatenate([ro_flat, jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
-    rd = jnp.concatenate([rd_flat, jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
-
-    def packet(args):
-        o, d = args
+    def packet(o, d):
         return render_rays_occupancy(
             params["fine"], spec.fine, cond_fine, grid, o, d,
             spec.render.near, spec.render.far, s_probe, k_keep,
             spec.render.white_bkgd,
         )
 
-    maps = jax.lax.map(packet, (ro, rd))
-    # background fills match composite()'s values for an all-empty ray so
-    # disp/acc/depth are budget-invariant (disp of an empty ray is 1e10)
-    bg_fill = {
-        "rgb": 1.0 if spec.render.white_bkgd else 0.0,
-        "disp": 1e10,
-        "acc": 0.0,
-        "depth": 0.0,
-    }
-    out = {}
-    for k, v in maps.items():
-        flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n_eval]
-        if sel is not None:
-            full = jnp.full((n,) + flat.shape[1:], bg_fill.get(k, 0.0), flat.dtype)
-            full = full.at[sel].set(flat)
-        else:
-            full = flat
-        out[k] = full.reshape((H, W) + full.shape[1:])
-    return out
+    return sweep_frame(
+        packet, H, W, K, c2w, spec.render.packet_size,
+        aabb_min=grid.aabb_min, aabb_max=grid.aabb_max,
+        near=spec.render.near, far=spec.render.far,
+        hit_fraction=hit_fraction, white_bkgd=spec.render.white_bkgd,
+    )

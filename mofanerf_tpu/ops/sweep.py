@@ -1,0 +1,101 @@
+"""Fixed-shape full-frame packet sweep with slab-test ray compaction.
+
+Shared frame driver for every production render path (occupancy-culled
+teacher rendering in ops/occupancy.py and the distilled-student serving
+path in render/serve.py). Replaces the reference's Python chunk loop
+(models/render_class.py:111-123) with one lax.map over static packets, and
+its implicit "render every pixel" policy with an optional frame-level
+compaction: a closed-form ray/AABB slab test orders face-hitting rays
+first (pure arithmetic, no MLP), only the first `hit_fraction` of rays are
+rendered, and the rest scatter back as analytic background.
+
+hit_fraction=None auto-budgets: the frame's true hit count is measured on
+the host (one tiny readback of a boolean mean) and bucketed UP to the next
+canonical fraction, so no foreground ray is ever dropped and at most
+len(HIT_BUDGET_BUCKETS) frame programs compile per (H, W, packet) shape.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from mofanerf_tpu.ops.bounds import ray_aabb_interval
+from mofanerf_tpu.ops.rays import get_rays
+
+HIT_BUDGET_BUCKETS = (0.25, 0.5, 0.75, 1.0)
+
+
+def bucket_fraction(frac: float, buckets=HIT_BUDGET_BUCKETS) -> float:
+    """Smallest canonical budget covering `frac`."""
+    for b in sorted(buckets):
+        if frac <= b:
+            return b
+    return 1.0
+
+
+def sweep_frame(
+    ray_fn: Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
+    H: int,
+    W: int,
+    K: jnp.ndarray,
+    c2w: jnp.ndarray,
+    packet_size: int,
+    aabb_min=None,
+    aabb_max=None,
+    near: float = 0.0,
+    far: float = jnp.inf,
+    hit_fraction: float | None = 1.0,
+    white_bkgd: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Render a full frame by sweeping `ray_fn` (rays_o, rays_d) -> dict of
+    per-ray outputs over fixed-size packets. Requires aabb_min/aabb_max for
+    any hit_fraction != 1.0. Returns [H, W, ...] maps."""
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    n = H * W
+    p = min(packet_size, n)
+    ro_flat = rays_o.reshape(-1, 3)
+    rd_flat = rays_d.reshape(-1, 3)
+
+    if hit_fraction is None:
+        _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
+        hit_fraction = bucket_fraction(float(jnp.mean(hit)))
+
+    if hit_fraction < 1.0:
+        _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
+        order = jnp.argsort(~hit)  # hits first, stable
+        # round the budget up to whole packets, clamped to the ray count
+        m = min(int(-(-int(n * hit_fraction) // p) * p), n)
+        sel = order[:m]
+        ro_flat = ro_flat[sel]
+        rd_flat = rd_flat[sel]
+        n_eval = m
+    else:
+        sel = None
+        n_eval = n
+
+    n_pad = (-n_eval) % p
+    ro = jnp.concatenate([ro_flat, jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
+    rd = jnp.concatenate([rd_flat, jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
+
+    maps = jax.lax.map(lambda args: ray_fn(args[0], args[1]), (ro, rd))
+
+    # background fills match composite()'s values for an all-empty ray so
+    # disp/acc/depth are budget-invariant (disp of an empty ray is 1e10)
+    bg_fill = {
+        "rgb": 1.0 if white_bkgd else 0.0,
+        "disp": 1e10,
+        "acc": 0.0,
+        "depth": 0.0,
+    }
+    out = {}
+    for k, v in maps.items():
+        flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n_eval]
+        if sel is not None:
+            full = jnp.full((n,) + flat.shape[1:], bg_fill.get(k, 0.0), flat.dtype)
+            full = full.at[sel].set(flat)
+        else:
+            full = flat
+        out[k] = full.reshape((H, W) + full.shape[1:])
+    return out

@@ -1,0 +1,114 @@
+"""Distilled-student serving renderer — the production fast path.
+
+The reference serves novel views by running the full 10x1024 fine MLP at
+192 samples/ray (models/render_class.py:239-352) — ~5.9 GFLOP/ray, which
+no kernel tuning can push past ~100k rays/s/chip (the v5e's bf16 peak is
+~197 TFLOP/s; see README "speed of light" analysis). This module is the
+TPU-native answer for deployment: distill the trained conditioned field
+into a small per-avatar student (train/distill.py), then render the
+student with dense samples packed inside each ray's analytic AABB interval
+(ops/bounds.py) — no occupancy grid, no gathers, no argsort; the entire
+hot path is MXU matmuls + VPU elementwise, the shapes static, the memory
+access purely sequential. Measured on v5e: the gather-based alternatives
+(baked voxel trilinear, grid-probe culling) wall at 0.27-0.9M rays/s on
+gather throughput alone, while this path scales with FLOPs.
+
+Quality is a measured trade, not a hope: examples/distill_synthetic.py
+produces the PSNR-vs-teacher table committed in artifacts/ and surfaced by
+bench.py alongside the throughput number.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from mofanerf_tpu.models.field import FieldConfig, apply_field_folded
+from mofanerf_tpu.ops.bounds import (
+    DEFAULT_AABB_MAX,
+    DEFAULT_AABB_MIN,
+    bounded_z_vals,
+    ray_aabb_interval,
+)
+from mofanerf_tpu.ops.composite import composite
+from mofanerf_tpu.ops.embed import fourier_embed
+from mofanerf_tpu.ops.sweep import sweep_frame
+
+Params = Dict[str, Any]
+
+
+def render_rays_bounded(
+    params: Params,
+    cfg: FieldConfig,
+    cond: Params,
+    rays_o: jnp.ndarray,   # [N, 3]
+    rays_d: jnp.ndarray,   # [N, 3]
+    near: float,
+    far: float,
+    n_samples: int = 32,
+    aabb_min=DEFAULT_AABB_MIN,
+    aabb_max=DEFAULT_AABB_MAX,
+    white_bkgd: bool = False,
+    key: jax.Array | None = None,
+    perturb: float = 0.0,
+) -> Dict[str, jnp.ndarray]:
+    """Deterministic bounded-interval render of a ray packet through one
+    field. Works for any FieldConfig (the distilled student in production;
+    also valid for the full fine field as a grid-free culling mode).
+
+    Returns {rgb, disp, acc, depth} like render_rays' fine outputs."""
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    de = fourier_embed(viewdirs, cfg.multires_views)
+    dirf = de @ params["view"]["w_dirs"]
+
+    t0, t1, hit = ray_aabb_interval(rays_o, rays_d, aabb_min, aabb_max, near, far)
+    z = bounded_z_vals(key, t0, t1, n_samples, perturb)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    pe = fourier_embed(pts.reshape(-1, 3), cfg.multires)
+    raw_rgb, raw_sigma = apply_field_folded(
+        params, cond, pe, dirf, cfg, samples_per_ray=n_samples
+    )
+    n = rays_o.shape[0]
+    raw_rgb = raw_rgb.reshape(n, n_samples, 3)
+    raw_sigma = raw_sigma.reshape(n, n_samples)
+    # miss rays carry a degenerate interval (all samples on one point); the
+    # final 1e10-dist compositing slot would light up on positive sigma, so
+    # force them transparent
+    raw_sigma = jnp.where(hit[:, None], raw_sigma, -1e10)
+
+    c = composite(raw_rgb, raw_sigma, z, rays_d, 0.0, white_bkgd, None)
+    return {"rgb": c.rgb, "disp": c.disp, "acc": c.acc, "depth": c.depth}
+
+
+def render_frame_serve(
+    params: Params,
+    cfg: FieldConfig,
+    cond: Params,
+    H: int,
+    W: int,
+    K: jnp.ndarray,
+    c2w: jnp.ndarray,
+    near: float = 8.0,
+    far: float = 26.0,
+    n_samples: int = 32,
+    aabb_min=DEFAULT_AABB_MIN,
+    aabb_max=DEFAULT_AABB_MAX,
+    white_bkgd: bool = False,
+    packet_size: int = 8192,
+    hit_fraction: float | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full-frame serving render: bounded-interval ray packets + frame-level
+    slab compaction (auto-budgeted by default — see ops/sweep.py)."""
+
+    def packet(o, d):
+        return render_rays_bounded(
+            params, cfg, cond, o, d, near, far, n_samples,
+            aabb_min, aabb_max, white_bkgd,
+        )
+
+    return sweep_frame(
+        packet, H, W, K, c2w, packet_size,
+        aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
+        hit_fraction=hit_fraction, white_bkgd=white_bkgd,
+    )
