@@ -176,6 +176,15 @@ def convert_hourglass_weights(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     def k(name):
         return np.asarray(sd[name]).transpose(2, 3, 1, 0)
 
+    def _shortcut_needed(prefix):
+        # the reference instantiates `shortcuts` unconditionally but only
+        # APPLIES it when inplanes != outplanes
+        # (defineHourglass_512_gray_skip.py:37,64-67) — convert it only
+        # when the block actually changes channel count, or flax rejects
+        # the unused parameter
+        w1 = np.asarray(sd[f"{prefix}.conv1.weight"])  # [out, in, 3, 3]
+        return w1.shape[0] != w1.shape[1] and f"{prefix}.shortcuts.weight" in sd
+
     def basic_bn(prefix, features):
         out = {
             "conv1": {"kernel": k(f"{prefix}.conv1.weight")},
@@ -185,7 +194,7 @@ def convert_hourglass_weights(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         s2, b2 = _fold_bn(sd, f"{prefix}.bn2")
         out["bn1_scale"], out["bn1_shift"] = s1, b1
         out["bn2_scale"], out["bn2_shift"] = s2, b2
-        if f"{prefix}.shortcuts.weight" in sd:
+        if _shortcut_needed(prefix):
             out["shortcut"] = {"kernel": k(f"{prefix}.shortcuts.weight")}
         return out
 
@@ -194,7 +203,7 @@ def convert_hourglass_weights(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             "conv1": {"kernel": k(f"{prefix}.conv1.weight")},
             "conv2": {"kernel": k(f"{prefix}.conv2.weight")},
         }
-        if f"{prefix}.shortcuts.weight" in sd:
+        if _shortcut_needed(prefix):
             out["shortcut"] = {"kernel": k(f"{prefix}.shortcuts.weight")}
         return out
 

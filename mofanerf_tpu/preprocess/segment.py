@@ -95,6 +95,33 @@ def _upx2(x, target_hw):
                             method="nearest")
 
 
+def _interp_matrix_align_corners(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] 1-D linear interpolation matrix with torch's
+    align_corners=True convention (out position i samples input at
+    i*(n_in-1)/(n_out-1))."""
+    A = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1:
+        A[:, 0] = 1.0
+        return A
+    pos = np.arange(n_out) * (n_in - 1) / max(n_out - 1, 1)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 2)
+    f = (pos - i0).astype(np.float32)
+    A[np.arange(n_out), i0] = 1.0 - f
+    A[np.arange(n_out), i0 + 1] += f
+    return A
+
+
+def bilinear_align_corners(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """[B, h, w, C] -> [B, H, W, C] bilinear with align_corners=True (the
+    reference upsamples its logits this way, SegmentCode/model.py:253-255).
+    Expressed as two small dense matmuls instead of gathers — separable
+    interpolation rides the MXU, the TPU-native formulation."""
+    h, w = x.shape[1:3]
+    Ah = jnp.asarray(_interp_matrix_align_corners(H, h))
+    Aw = jnp.asarray(_interp_matrix_align_corners(W, w))
+    return jnp.einsum("Hh,bhwc,Ww->bHWc", Ah, x, Aw)
+
+
 class ContextPath(nn.Module):
     @nn.compact
     def __call__(self, x):
@@ -150,9 +177,9 @@ class BiSeNet(nn.Module):
         feat8, fcp8, fcp16 = ContextPath(name="cp")(x)
         fuse = FeatureFusion(256, name="ffm")(feat8, fcp8)
         out = Output(256, self.n_classes, name="conv_out")(fuse)
-        return jax.image.resize(
-            out, (x.shape[0], H, W, self.n_classes), method="bilinear"
-        )
+        # align_corners=True like the reference (model.py:253) — boundary
+        # pixels of the parse map differ under the half-pixel convention
+        return bilinear_align_corners(out, H, W)
 
 
 # ImageNet normalization used by the reference's evaluate()
