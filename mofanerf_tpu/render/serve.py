@@ -24,7 +24,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from mofanerf_tpu.models.field import FieldConfig, apply_field_folded
+from mofanerf_tpu.models.student import point_apply
 from mofanerf_tpu.ops.bounds import (
     DEFAULT_AABB_MAX,
     DEFAULT_AABB_MIN,
@@ -40,8 +40,8 @@ Params = Dict[str, Any]
 
 def render_rays_bounded(
     params: Params,
-    cfg: FieldConfig,
-    cond: Params,
+    cfg,                   # FieldConfig | StudentConfig
+    cond: Params | None,
     rays_o: jnp.ndarray,   # [N, 3]
     rays_d: jnp.ndarray,   # [N, 3]
     near: float,
@@ -66,7 +66,7 @@ def render_rays_bounded(
     z = bounded_z_vals(key, t0, t1, n_samples, perturb)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     pe = fourier_embed(pts.reshape(-1, 3), cfg.multires)
-    raw_rgb, raw_sigma = apply_field_folded(
+    raw_rgb, raw_sigma = point_apply(
         params, cond, pe, dirf, cfg, samples_per_ray=n_samples
     )
     n = rays_o.shape[0]
@@ -83,8 +83,8 @@ def render_rays_bounded(
 
 def render_frame_serve(
     params: Params,
-    cfg: FieldConfig,
-    cond: Params,
+    cfg,                   # FieldConfig | StudentConfig
+    cond: Params | None,
     H: int,
     W: int,
     K: jnp.ndarray,

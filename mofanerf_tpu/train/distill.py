@@ -31,11 +31,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from mofanerf_tpu.models.field import (
-    FieldConfig,
-    apply_field_folded,
-    fold_conditioning,
-    init_field_params,
+from mofanerf_tpu.models.field import FieldConfig
+from mofanerf_tpu.models.student import (
+    StudentConfig,
+    init_point_field,
+    point_apply,
+    refold_cond,
 )
 from mofanerf_tpu.ops.bounds import DEFAULT_AABB_MAX, DEFAULT_AABB_MIN
 from mofanerf_tpu.ops.embed import fourier_embed
@@ -45,8 +46,11 @@ Params = Dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class DistillConfig:
-    depth: int = 6
-    width: int = 192
+    arch: str = "mlp"             # "mlp" (lean StudentConfig) | "field"
+    depth: int = 4
+    width: int = 128
+    skip: int = -1                # mlp arch: pe re-injection layer (-1 off)
+    multires: int = 0             # 0 = inherit the teacher's band count
     n_steps: int = 2000
     batch: int = 32768
     lr: float = 1e-3
@@ -58,12 +62,20 @@ class DistillConfig:
     aabb_max: Tuple[float, float, float] = DEFAULT_AABB_MAX
     compute_dtype: Any = jnp.bfloat16
 
-    def student_config(self, teacher: FieldConfig) -> FieldConfig:
-        """Student field: same embedding bandwidths as the teacher, smaller
-        trunk, degenerate (1-dim) conditioning — per-avatar, codes folded."""
+    def student_config(self, teacher: FieldConfig):
+        """Student field: by default the lean unconditioned MLP
+        (models/student.py); arch='field' keeps the trunk architecture with
+        degenerate (1-dim) conditioning for apples-to-apples comparisons."""
+        mr = self.multires or teacher.multires
+        if self.arch == "mlp":
+            return StudentConfig(
+                depth=self.depth, width=self.width, skip=self.skip,
+                multires=mr, multires_views=teacher.multires_views,
+                compute_dtype=self.compute_dtype,
+            )
         return FieldConfig(
             depth=self.depth, width=self.width,
-            multires=teacher.multires, multires_views=teacher.multires_views,
+            multires=mr, multires_views=teacher.multires_views,
             shape_dim=1, exp_dim=1, tex_dim=1,
             compute_dtype=self.compute_dtype,
         )
@@ -71,14 +83,13 @@ class DistillConfig:
 
 class StudentState(NamedTuple):
     params: Params
-    cond: Params        # folded (zero) conditioning — pass to any renderer
+    cond: Any           # folded zero-cond (field arch) or None (mlp arch)
     opt_state: Any
     step: jnp.ndarray
 
 
-def init_student(key: jax.Array, cfg: FieldConfig, lr: float = 1e-3):
-    params = init_field_params(key, cfg)
-    cond = fold_conditioning(params, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1))
+def init_student(key: jax.Array, cfg, lr: float = 1e-3):
+    params, cond = init_point_field(key, cfg)
     tx = optax.adam(lr)
     return StudentState(params, cond, tx.init(params), jnp.asarray(0, jnp.int32)), tx
 
@@ -117,12 +128,12 @@ def _sample_points(key, dcfg: DistillConfig, batch: int):
     )
 
 
-def _field_outputs(params, cfg: FieldConfig, cond, pts, dirs):
+def _field_outputs(params, cfg, cond, pts, dirs):
     """Activated (rgb [N,3], sigma [N]) of one field at points/dirs."""
     pe = fourier_embed(pts, cfg.multires)
     de = fourier_embed(dirs, cfg.multires_views)
     dirf = de @ params["view"]["w_dirs"]
-    raw_rgb, raw_sigma = apply_field_folded(params, cond, pe, dirf, cfg)
+    raw_rgb, raw_sigma = point_apply(params, cond, pe, dirf, cfg)
     return jax.nn.sigmoid(raw_rgb.astype(jnp.float32)), jax.nn.relu(
         raw_sigma[:, 0].astype(jnp.float32)
     )
@@ -164,18 +175,18 @@ def distill_step(
     pts, dirs = _sample_points(key, dcfg, dcfg.batch)
 
     def loss_fn(p):
-        cond = fold_conditioning(p, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1))
         return distill_loss(
-            p, student_cfg, cond, teacher_params, teacher_cfg, teacher_cond,
-            pts, dirs,
+            p, student_cfg, refold_cond(p, student_cfg),
+            teacher_params, teacher_cfg, teacher_cond, pts, dirs,
         )
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
-    new_cond = fold_conditioning(new_params, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1))
     metrics["loss"] = loss
-    return StudentState(new_params, new_cond, new_opt, state.step + 1), metrics
+    return StudentState(
+        new_params, refold_cond(new_params, student_cfg), new_opt, state.step + 1
+    ), metrics
 
 
 def distill(

@@ -154,3 +154,44 @@ def test_distill_learns_teacher():
     _, _, ro, rd = _setup()
     out = render_rays_bounded(state.params, scfg, state.cond, ro, rd, NEAR, FAR, 8)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_student_mlp_shapes_and_skip():
+    from mofanerf_tpu.models.student import (
+        StudentConfig, init_student_params, apply_student, student_param_count,
+    )
+
+    cfg = StudentConfig(depth=5, width=64, skip=2, multires=6,
+                        compute_dtype=jnp.float32)
+    params = init_student_params(jax.random.PRNGKey(0), cfg)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (12, cfg.pts_embed_dim))
+    de = jax.random.normal(jax.random.PRNGKey(2), (12, cfg.views_embed_dim))
+    dirf = de @ params["view"]["w_dirs"]
+    rgb, sig = apply_student(params, pe, dirf, cfg)
+    assert rgb.shape == (12, 3) and sig.shape == (12, 1)
+    assert np.isfinite(np.asarray(rgb)).all()
+    # the skip layer consumes [W + pe] inputs
+    assert params["layers"][2]["w"].shape[0] == 64 + cfg.pts_embed_dim
+    assert student_param_count(params) > 0
+    # per-ray dir_feat broadcast matches per-point
+    rgb2, sig2 = apply_student(params, pe, dirf[:3], cfg, samples_per_ray=4)
+    dirf_rep = jnp.repeat(dirf[:3], 4, axis=0)
+    rgb3, sig3 = apply_student(params, pe, dirf_rep, cfg)
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sig2), np.asarray(sig3), atol=1e-5)
+
+
+def test_distill_field_arch_still_works():
+    """arch='field' keeps the trunk-based student working end-to-end."""
+    from mofanerf_tpu.train.distill import DistillConfig, distill
+
+    teacher = init_field_params(jax.random.PRNGKey(3), CFG)
+    tcond = fold_conditioning(teacher, jnp.zeros(50), jnp.zeros(30), jnp.zeros(256))
+    dcfg = DistillConfig(arch="field", depth=4, width=32, n_steps=20, batch=256,
+                         compute_dtype=jnp.float32)
+    state, scfg = distill(teacher, CFG, tcond, dcfg, seed=0)
+    assert state.cond is not None
+    out = render_rays_bounded(state.params, scfg, state.cond,
+                              jnp.zeros((4, 3)), jnp.eye(3)[jnp.asarray([0, 1, 2, 0])],
+                              NEAR, FAR, 8)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
