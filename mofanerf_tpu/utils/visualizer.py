@@ -48,16 +48,37 @@ class Visualizer:
         imageio.imwrite(path, np.clip(img * 255, 0, 255).astype(np.uint8))
         return path
 
-    def _write_index(self) -> None:
-        imgs = sorted(os.listdir(self.img_dir))
-        rows = "\n".join(
-            f'<div style="display:inline-block;margin:4px;text-align:center">'
-            f'<img src="images/{f}" width="256"/><br/>{f}</div>'
-            for f in imgs
-        )
+    def _write_index(self, refresh: int = 30, width: int = 256) -> None:
+        """Browsable gallery grouped by epoch, newest first, auto-refreshing
+        — parity with the reference's dominate-built page
+        (tools/refine_mod/util/visualizer.py:60-96 + util/html.py), using a
+        plain string template (`dominate` is absent here)."""
+        import re
+
+        by_epoch: dict = {}
+        for f in sorted(os.listdir(self.img_dir)):
+            m = re.match(r"epoch(\d+)_(.+)\.(png|jpg)$", f)
+            if m:
+                by_epoch.setdefault(int(m.group(1)), []).append((f, m.group(2)))
+
+        sections = []
+        for epoch in sorted(by_epoch, reverse=True):
+            cells = "".join(
+                f'<td style="word-wrap:break-word;text-align:center;'
+                f'vertical-align:top"><p><a href="images/{f}">'
+                f'<img style="width:{width}px" src="images/{f}"/></a><br/>'
+                f"<p>{label}</p></p></td>"
+                for f, label in by_epoch[epoch]
+            )
+            sections.append(
+                f"<h3>epoch [{epoch}]</h3>"
+                f'<table border="1" style="table-layout:fixed"><tr>{cells}</tr></table>'
+            )
         html = (
-            f"<html><head><title>{self.name}</title></head>"
-            f"<body><h1>{self.name}</h1>{rows}</body></html>"
+            f'<html><head><title>{self.name}</title>'
+            f'<meta http-equiv="refresh" content="{refresh}"/></head>'
+            f"<body><h1>Experiment name = {self.name}</h1>"
+            f"{''.join(sections)}</body></html>"
         )
         with open(os.path.join(self.out_dir, "web", "index.html"), "w") as f:
             f.write(html)

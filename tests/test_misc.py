@@ -117,3 +117,23 @@ def test_ssim_properties():
     s_b, s_c = ssim(a, b), ssim(a, c)
     assert 0 < s_c < s_b < 1  # more noise -> lower ssim
     assert ssim(a, 1 - a) < 0.3
+
+
+def test_visualizer_html_gallery(tmp_path):
+    """index.html groups by epoch, newest epoch first, one cell per image
+    (parity with the reference gallery, refine_mod/util/visualizer.py:60-96)."""
+    import numpy as np
+    from mofanerf_tpu.utils.visualizer import Visualizer
+
+    v = Visualizer(str(tmp_path), name="exp1")
+    img = np.zeros((4, 4, 3), np.float32)
+    v.save_images(1, {"real": img, "fake": img})
+    v.save_images(2, {"real": img})
+    html = (tmp_path / "web" / "index.html").read_text()
+    assert "epoch [2]" in html and "epoch [1]" in html
+    assert html.index("epoch [2]") < html.index("epoch [1]"), "newest first"
+    assert html.count("<img") == 3
+    assert 'src="images/epoch001_fake.png"' in html
+    assert "refresh" in html
+    v.print_errors(1, 10, {"loss_G": 0.5}, 0.1)
+    assert "loss_G" in (tmp_path / "loss_log.txt").read_text()
