@@ -37,6 +37,10 @@ def main() -> None:
                    help="where to write the quality JSON (default <out>/distill_quality.json)")
     p.add_argument("--quick", action="store_true",
                    help="one tiny student, S=16 only (CI/CPU smoke)")
+    p.add_argument("--flagship", action="store_true",
+                   help="teacher at reference dims (8x256 coarse + 10x1024 "
+                        "fine, bf16) so the occupancy-path numbers are "
+                        "comparable to bench.py's")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -81,15 +85,24 @@ def main() -> None:
     H, W, focal = ds.hwf
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
 
+    if args.flagship:
+        coarse = FieldConfig(depth=8, width=256, compute_dtype=jnp.bfloat16)
+        fine = FieldConfig(depth=10, width=1024, compute_dtype=jnp.bfloat16)
+        teacher_desc = "8x256+10x1024 bf16 (reference dims)"
+        lrate = 5e-4
+    else:
+        coarse = FieldConfig(depth=8, width=args.width)
+        fine = FieldConfig(depth=8, width=args.width * 2)
+        teacher_desc = f"8x{args.width}+8x{args.width * 2}"
+        lrate = 1e-3
     spec = MoFaNeRF(
-        coarse=FieldConfig(depth=8, width=args.width),
-        fine=FieldConfig(depth=8, width=args.width * 2),
+        coarse=coarse, fine=fine,
         render=RenderConfig(n_coarse=32, n_importance=32, packet_size=4096,
                             raw_noise_std=1.0),
         uv_size=128,
     )
-    state = create_train_state(jax.random.PRNGKey(0), spec, lrate=1e-3)
-    tx = make_optimizer(lrate=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), spec, lrate=lrate)
+    tx = make_optimizer(lrate=lrate)
     step_fn = jax.jit(lambda s, b, k: train_step(s, b, k, spec, tx))
 
     rng = np.random.default_rng(0)
@@ -143,6 +156,60 @@ def main() -> None:
 
     teacher_vs_gt = float(np.mean([psnr(teacher_renders[t], gts[t]) for t in test_ids]))
     print(f"[TEACHER] held-out PSNR vs GT: {teacher_vs_gt:.2f} dB over {len(test_ids)} views")
+
+    # ---- 2b. teacher production path on a REAL trained-field grid:
+    # build_occupancy_grid from the trained fine field, then measure the
+    # occupancy-culled path's quality (vs the two-pass render) and packet
+    # throughput through actual scene geometry — the numbers a synthetic
+    # random grid cannot give.
+    from mofanerf_tpu.ops.occupancy import (
+        build_occupancy_grid, render_frame_fast, render_rays_occupancy,
+    )
+    from mofanerf_tpu.ops.rays import get_rays
+
+    grid = build_occupancy_grid(
+        state.params["fine"], spec.fine, cond.fine, resolution=64,
+        aabb_min=AABB_MIN, aabb_max=AABB_MAX, density_threshold=1.0,
+    )
+    occ_frac = float(jnp.mean(grid.occ))
+    occ_quality = {}
+    for keep in (16, 32):
+        fast_frame = jax.jit(
+            lambda p, c, pose, _k=keep: render_frame_fast(
+                p, spec, c, grid, H, W, Kj, pose, s_probe=64, k_keep=_k,
+                hit_fraction=1.0)["rgb"]
+        )
+        pv = float(np.mean([
+            psnr(np.asarray(fast_frame(state.params, cond.fine,
+                                       jnp.asarray(ds.poses[t][:3]))),
+                 teacher_renders[t])
+            for t in test_ids
+        ]))
+        # packet throughput through real geometry (rays of a test view)
+        ro_f, rd_f = get_rays(H, W, Kj, jnp.asarray(ds.poses[test_ids[0]][:3]))
+        reps = max(1, 8192 // (H * W) + 1)
+        ro8 = jnp.tile(ro_f.reshape(-1, 3), (reps, 1))[:8192]
+        rd8 = jnp.tile(rd_f.reshape(-1, 3), (reps, 1))[:8192]
+
+        @jax.jit
+        def occ_loop(o, d, _k=keep):
+            def body(i, acc):
+                out = render_rays_occupancy(
+                    state.params["fine"], spec.fine, cond.fine, grid,
+                    o + i * 1e-6, d, 8.0, 26.0, 64, _k)
+                return acc + jnp.sum(out["rgb"])
+            return jax.lax.fori_loop(0, 16, body, 0.0)
+
+        float(occ_loop(ro8, rd8))
+        t1 = time.perf_counter()
+        float(occ_loop(ro8, rd8))
+        occ_rays = 8192 / ((time.perf_counter() - t1) / 16)
+        occ_quality[f"keep{keep}"] = {
+            "psnr_vs_teacher_db": round(pv, 2),
+            "rays_per_sec": round(occ_rays, 1),
+        }
+        print(f"[OCC keep={keep}] PSNR vs two-pass {pv:.2f} dB, "
+              f"{occ_rays/1e3:.1f}k rays/s (real grid, occ {occ_frac:.3f})")
 
     # ---- 3/4. distill several students, render + measure
     students = {
@@ -223,9 +290,10 @@ def main() -> None:
 
     result = {
         "scene": f"synthetic cube {args.res}x{args.res}, teacher "
-                 f"8x{args.width}+8x{args.width * 2}, {args.iters} iters",
+                 f"{teacher_desc}, {args.iters} iters",
         "teacher_psnr_vs_gt_db": round(teacher_vs_gt, 2),
         "device": str(jax.devices()[0]),
+        "occupancy_real_grid": {"occ_fraction": round(occ_frac, 4), **occ_quality},
         "students": rows,
     }
     art = args.artifacts or os.path.join(args.out, "distill_quality.json")

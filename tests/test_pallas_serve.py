@@ -1,0 +1,76 @@
+"""Parity of the fused Pallas serving kernel with the XLA bounded renderer
+(interpret mode on CPU; the compiled kernel runs the same program)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mofanerf_tpu.models.student import StudentConfig, init_point_field
+from mofanerf_tpu.ops.pallas_serve import render_rays_bounded_fused
+from mofanerf_tpu.render.serve import render_rays_bounded
+
+NEAR, FAR = 8.0, 26.0
+AABB = ((-2.0,) * 3, (2.0,) * 3)
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    ro = jnp.tile(jnp.asarray([[0.0, 0, 16.0]]), (n, 1))
+    # mix of hitting and missing directions, unnormalized (dists scaling)
+    to = rng.standard_normal((n, 3)) * np.array([1.5, 1.5, 0.2]) - [0, 0, 16]
+    rd = to / np.linalg.norm(to, axis=-1, keepdims=True) * rng.uniform(0.7, 1.4, (n, 1))
+    rd[: n // 8] = [0.0, 0, 1.0]  # guaranteed misses
+    return ro, jnp.asarray(rd.astype(np.float32))
+
+
+def test_fused_matches_xla_bounded():
+    cfg = StudentConfig(depth=4, width=128, multires=8, compute_dtype=jnp.float32)
+    params, _ = init_point_field(jax.random.PRNGKey(0), cfg)
+    # visible structure: positive density bias
+    params["sigma"]["b"] = params["sigma"]["b"] + 1.5
+    ro, rd = _rays(256)
+
+    ref = render_rays_bounded(params, cfg, None, ro, rd, NEAR, FAR, 16, *AABB)
+    got = render_rays_bounded_fused(params, cfg, ro, rd, NEAR, FAR, 16, *AABB,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["acc"]), np.asarray(ref["acc"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["depth"]), np.asarray(ref["depth"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["disp"]), np.asarray(ref["disp"]),
+                               rtol=1e-3, atol=1e-3)
+    acc = np.asarray(got["acc"])
+    assert (acc[:32] == 0).all(), "miss rays must be background"
+    assert (acc > 0.5).any(), "scene unexpectedly empty"
+
+
+def test_fused_white_background_and_bf16():
+    cfg = StudentConfig(depth=4, width=128, multires=8,
+                        compute_dtype=jnp.bfloat16)
+    params, _ = init_point_field(jax.random.PRNGKey(1), cfg)
+    params["sigma"]["b"] = params["sigma"]["b"] + 1.5
+    ro, rd = _rays(256, seed=1)
+    ref = render_rays_bounded(params, cfg, None, ro, rd, NEAR, FAR, 8, *AABB,
+                              white_bkgd=True)
+    got = render_rays_bounded_fused(params, cfg, ro, rd, NEAR, FAR, 8, *AABB,
+                                    white_bkgd=True, interpret=True)
+    # bf16 MLP: tolerances match the dtype, not the algorithm
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got["acc"]), np.asarray(ref["acc"]),
+                               rtol=2e-2, atol=2e-2)
+    # miss rays are exactly white in both
+    assert (np.asarray(got["rgb"])[:32] == 1.0).all()
+
+
+def test_fused_multi_block():
+    cfg = StudentConfig(depth=3, width=128, multires=6, compute_dtype=jnp.float32)
+    params, _ = init_point_field(jax.random.PRNGKey(2), cfg)
+    params["sigma"]["b"] = params["sigma"]["b"] + 1.0
+    ro, rd = _rays(512, seed=2)
+    ref = render_rays_bounded(params, cfg, None, ro, rd, NEAR, FAR, 8, *AABB)
+    got = render_rays_bounded_fused(params, cfg, ro, rd, NEAR, FAR, 8, *AABB,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
+                               rtol=1e-4, atol=1e-4)
