@@ -1,9 +1,11 @@
 """Benchmark: serving/training throughput of the TPU-native MoFaNeRF stack.
 
-HEADLINE — production serving path (render/serve.py): per-avatar distilled
-student (4x128 MLP, multires 8, bf16) rendered with 32 dense samples packed
-into each ray's analytic AABB interval. No gathers anywhere on the hot
-path; throughput is weight-independent (same matmuls), and the quality
+HEADLINE — production serving path (render/serve.py + the fused Pallas
+kernel in ops/pallas_serve.py): per-avatar distilled student (4x128 MLP,
+multires 8, bf16) rendered with 32 dense samples packed into each ray's
+analytic AABB interval, the whole render VMEM-resident per ray block. No
+gathers anywhere on the hot path; throughput is weight-independent (same
+matmuls), and the quality
 cost of serving a student instead of the full field is MEASURED, not
 assumed — examples/distill_synthetic.py produces artifacts/
 distill_quality.json (PSNR vs the teacher's two-pass renders on held-out
@@ -94,20 +96,26 @@ def shell_grid(G=64):
 def main() -> None:
     extras = {"device": str(jax.devices()[0])}
 
-    # ---------------- headline: distilled-student serving path
+    # ---------------- headline: distilled-student serving path, fused kernel
+    from mofanerf_tpu.ops.pallas_serve import render_rays_bounded_fused
+
     sp, sc = init_point_field(jax.random.PRNGKey(0), SERVE_CFG)
 
-    n32 = 32768
-    ro, rd = _unit_rays(jax.random.PRNGKey(1), n32)
-    loop_s32 = _ray_loop(lambda o, d: render_rays_bounded(
-        sp, SERVE_CFG, sc, o, d, NEAR, FAR, 32, AABB_MIN, AABB_MAX)["rgb"])
-    serve32 = n32 / _timed(loop_s32, ro, rd)
+    n64 = 65536
+    ro, rd = _unit_rays(jax.random.PRNGKey(1), n64)
+    loop_f32 = _ray_loop(lambda o, d: render_rays_bounded_fused(
+        sp, SERVE_CFG, o, d, NEAR, FAR, 32, AABB_MIN, AABB_MAX)["rgb"])
+    serve32 = n64 / _timed(loop_f32, ro, rd)
 
-    n16 = 65536
-    ro16, rd16 = _unit_rays(jax.random.PRNGKey(2), n16)
-    loop_s16 = _ray_loop(lambda o, d: render_rays_bounded(
-        sp, SERVE_CFG, sc, o, d, NEAR, FAR, 16, AABB_MIN, AABB_MAX)["rgb"])
-    extras["serve_S16_rays_per_sec"] = round(n16 / _timed(loop_s16, ro16, rd16), 1)
+    loop_f16 = _ray_loop(lambda o, d: render_rays_bounded_fused(
+        sp, SERVE_CFG, o, d, NEAR, FAR, 16, AABB_MIN, AABB_MAX)["rgb"])
+    extras["serve_fused_S16_rays_per_sec"] = round(n64 / _timed(loop_f16, ro, rd), 1)
+
+    n32 = 32768
+    ro32, rd32 = _unit_rays(jax.random.PRNGKey(2), n32)
+    loop_x32 = _ray_loop(lambda o, d: render_rays_bounded(
+        sp, SERVE_CFG, sc, o, d, NEAR, FAR, 32, AABB_MIN, AABB_MAX)["rgb"])
+    extras["serve_xla_S32_rays_per_sec"] = round(n32 / _timed(loop_x32, ro32, rd32), 1)
 
     # full jitted 512^2 frame (static 0.5 compaction budget: one program)
     from mofanerf_tpu.ops.rays import pose_spherical
@@ -121,7 +129,7 @@ def main() -> None:
             out = render_frame_serve(
                 sp, SERVE_CFG, sc, 512, 512, Kc, c2w + i * 1e-6,
                 n_samples=32, aabb_min=AABB_MIN, aabb_max=AABB_MAX,
-                hit_fraction=0.5, packet_size=16384)
+                hit_fraction=0.5, packet_size=16384, fused=True)
             return acc + jnp.sum(out["rgb"])
         return jax.lax.fori_loop(0, 8, body, 0.0)
 
@@ -273,8 +281,9 @@ def main() -> None:
                 "vs_baseline": round(serve32 / BASELINE_RAYS_PER_SEC, 4),
                 "extra": {
                     "mode": "serving path: distilled student 4x128 mr8 bf16, "
-                            "32 bounded samples/ray, gather-free "
-                            "(quality vs teacher measured in artifacts/)",
+                            "32 bounded samples/ray, fused Pallas kernel, "
+                            "gather-free (quality vs teacher measured in "
+                            "artifacts/)",
                     "sec_per_512x512_frame": round(512 * 512 / serve32, 3),
                     **extras,
                 },

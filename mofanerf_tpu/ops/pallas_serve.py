@@ -77,7 +77,9 @@ def _serve_kernel(cfg: StudentConfig, n_samples: int, white_bkgd: bool):
         normd = aux_ref[:, 3]
 
         # --- sample placement: z[s, r] spans each ray's own interval
-        u = jax.lax.broadcasted_iota(jnp.float32, (S, R), 0) / max(S - 1, 1)
+        # Mosaic only lowers integer iota — cast to f32 after
+        u = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0).astype(
+            jnp.float32) / max(S - 1, 1)
         z = t0[None, :] + (t1 - t0)[None, :] * u          # [S, R]
         zf = z.reshape(S * R, 1)
         o_t = jnp.tile(o_ref[:], (S, 1))                   # [S*R, 3]
@@ -89,19 +91,23 @@ def _serve_kernel(cfg: StudentConfig, n_samples: int, white_bkgd: bool):
         arg = jnp.dot(pts, A_ref[:], preferred_element_type=jnp.float32)
         emb = jnp.sin(arg + phase_ref[:])                  # [S*R, 6*mr]
 
-        h = pts.astype(dt) @ w0p_ref[:].astype(dt)
-        h = h + emb.astype(dt) @ w0s_ref[:].astype(dt)
-        h = jax.nn.relu(h + b0_ref[:].astype(dt))          # [S*R, W]
-        for i in range(D):
-            h = jax.nn.relu(
-                jnp.dot(h, wl_ref[i].astype(dt), preferred_element_type=dt)
-                + bl_ref[i].astype(dt)
-            )
+        # MXU matmuls in the compute dtype with f32 accumulation (Mosaic
+        # requires 32-bit accumulators for bf16 operands)
+        def mm(a, b):
+            return jnp.dot(a.astype(dt), b.astype(dt),
+                           preferred_element_type=jnp.float32)
 
-        sig = (h @ wsig_ref[:].astype(dt)).astype(jnp.float32) + bsig_ref[0, 0]
-        pre = h @ wfeat_ref[:].astype(dt) + bfeat_ref[:].astype(dt)
-        vf = jax.nn.relu(pre + jnp.tile(dirf_ref[:].astype(dt), (S, 1)))
-        rgb_raw = (vf @ wrgb_ref[:].astype(dt)).astype(jnp.float32) + brgb_ref[:]
+        h = mm(pts, w0p_ref[:]) + mm(emb, w0s_ref[:]) + b0_ref[:]
+        h = jax.nn.relu(h).astype(dt)                      # [S*R, W]
+        for i in range(D):
+            h = jax.nn.relu(mm(h, wl_ref[i]) + bl_ref[i]).astype(dt)
+
+        sig = mm(h, wsig_ref[:]) + bsig_ref[0, 0]
+        pre = jax.nn.relu(
+            mm(h, wfeat_ref[:]) + bfeat_ref[:]
+            + jnp.tile(dirf_ref[:], (S, 1))
+        )
+        rgb_raw = mm(pre, wrgb_ref[:]) + brgb_ref[:]
         rgb = jax.nn.sigmoid(rgb_raw)                      # [S*R, 3] f32
 
         # --- composite (f32): uniform spacing -> constant per-ray dists
@@ -147,10 +153,15 @@ def render_rays_bounded_fused(
     aabb_min=DEFAULT_AABB_MIN,
     aabb_max=DEFAULT_AABB_MAX,
     white_bkgd: bool = False,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in fused equivalent of render_rays_bounded for StudentConfig
-    fields (skip == -1). N must be a multiple of 256."""
+    fields (skip == -1). N must be a multiple of 256.
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere
+    (so the fused path works on the CPU test mesh too)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert isinstance(cfg, StudentConfig) and cfg.skip == -1, (
         "fused path supports the lean skipless student"
     )

@@ -74,3 +74,22 @@ def test_fused_multi_block():
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_frame_serve_fused_matches_unfused():
+    from mofanerf_tpu.render.serve import render_frame_serve
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    cfg = StudentConfig(depth=3, width=128, multires=6, compute_dtype=jnp.float32)
+    params, cond = init_point_field(jax.random.PRNGKey(3), cfg)
+    params["sigma"]["b"] = params["sigma"]["b"] + 1.0
+    K = jnp.asarray([[16.0, 0, 8], [0, 16.0, 8], [0, 0, 1]])
+    c2w = jnp.asarray(pose_spherical(10.0, -5.0, 16.0))[:3]
+    kw = dict(near=NEAR, far=FAR, n_samples=8, aabb_min=AABB[0],
+              aabb_max=AABB[1], packet_size=256, hit_fraction=1.0)
+    a = render_frame_serve(params, cfg, cond, 16, 16, K, c2w, fused=False, **kw)
+    b = render_frame_serve(params, cfg, cond, 16, 16, K, c2w, fused=True, **kw)
+    np.testing.assert_allclose(np.asarray(b["rgb"]), np.asarray(a["rgb"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b["acc"]), np.asarray(a["acc"]),
+                               rtol=1e-4, atol=1e-4)
