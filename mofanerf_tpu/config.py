@@ -81,6 +81,7 @@ class Config:
     near: float = 8.0
     far: float = 26.0
     lindisp: bool = False
+    sigma_activation: str = "relu"  # 'softplus' = training-stability option
 
     # precision / packeting (TPU-specific)
     compute_dtype: str = "bfloat16"   # hot-path matmul dtype
@@ -120,6 +121,7 @@ class Config:
                 perturb=self.perturb, raw_noise_std=self.raw_noise_std,
                 white_bkgd=self.white_bkgd, near=self.near, far=self.far,
                 lindisp=self.lindisp, packet_size=self.packet_size,
+                sigma_activation=self.sigma_activation,
             ),
             shape_dim=self.input_ch_shapeCodes,
             exp_dim=self.input_ch_expCodes,

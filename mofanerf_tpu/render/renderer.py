@@ -62,6 +62,9 @@ class RenderConfig:
     far: float = 26.0
     lindisp: bool = False
     packet_size: int = 8192       # rays per lax.map packet for full frames
+    sigma_activation: str = "relu"  # 'relu' (reference parity) or 'softplus'
+                                  # (training-stability option — see
+                                  # ops/composite.py docstring)
     fine_on_union: bool = True    # reference behavior: fine net sees coarse+importance
                                   # samples (models/render_class.py:328). False = fast
                                   # mode: fine sees only the importance samples, which
@@ -197,7 +200,8 @@ def render_rays(
     raw_rgb, raw_sigma = _run_field(
         params["coarse"], spec.coarse, cond.coarse, pts, dirf_c, rc.n_coarse
     )
-    c = composite(raw_rgb, raw_sigma, z_vals, rays_d, noise_std, rc.white_bkgd, k_noise_c)
+    c = composite(raw_rgb, raw_sigma, z_vals, rays_d, noise_std, rc.white_bkgd,
+                  k_noise_c, rc.sigma_activation)
 
     out = {}
     if rc.n_importance > 0:
@@ -221,7 +225,8 @@ def render_rays(
         f = _run_field(
             params["fine"], spec.fine, cond.fine, pts, dirf_f, n_fine,
         )
-        cf = composite(f[0], f[1], z_all, rays_d, noise_std, rc.white_bkgd, k_noise_f)
+        cf = composite(f[0], f[1], z_all, rays_d, noise_std, rc.white_bkgd,
+                       k_noise_f, rc.sigma_activation)
         out["rgb"], out["disp"], out["acc"] = cf.rgb, cf.disp, cf.acc
         out["depth"] = cf.depth
         # ddof=0 matches the reference's torch.std(..., unbiased=False)

@@ -69,3 +69,37 @@ def test_composite_empty_space_white_bkgd():
     )
     np.testing.assert_allclose(np.asarray(out.rgb), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.acc), 0.0, atol=1e-6)
+
+
+def test_softplus_sigma_activation():
+    """softplus option: same shapes, strictly positive density everywhere
+    (no dead zone), reduces to ~relu for large positive sigma."""
+    import jax
+    import jax.numpy as jnp
+    from mofanerf_tpu.ops.composite import composite
+
+    n, s = 4, 8
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.standard_normal((n, s, 3)), jnp.float32)
+    z = jnp.sort(jnp.asarray(rng.uniform(8, 26, (n, s)), jnp.float32), axis=-1)
+    d = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+
+    sig_neg = jnp.full((n, s), -3.0)
+    out_relu = composite(rgb, sig_neg, z, d, sigma_activation="relu")
+    out_sp = composite(rgb, sig_neg, z, d, sigma_activation="softplus")
+    # relu: fully transparent; softplus: slightly opaque (gradient alive)
+    np.testing.assert_allclose(np.asarray(out_relu.acc), 0.0, atol=1e-6)
+    assert (np.asarray(out_sp.acc) > 0).all()
+
+    # gradient w.r.t. raw sigma is nonzero under softplus, zero under relu
+    g = lambda act: jax.grad(
+        lambda ss: composite(rgb, ss, z, d, sigma_activation=act).rgb.sum()
+    )(sig_neg)
+    assert float(jnp.abs(g("relu")).max()) == 0.0
+    assert float(jnp.abs(g("softplus")).max()) > 0.0
+
+    # big positive sigma: both saturate to the same opaque result
+    sig_pos = jnp.full((n, s), 50.0)
+    a = composite(rgb, sig_pos, z, d, sigma_activation="relu")
+    b = composite(rgb, sig_pos, z, d, sigma_activation="softplus")
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), atol=1e-5)
