@@ -38,6 +38,13 @@ def main(argv=None) -> None:
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--fast", action="store_true",
                    help="occupancy-culled rendering (builds a density grid once)")
+    p.add_argument("--distill", action="store_true",
+                   help="serving path: distill a per-avatar student once "
+                        "(~10-30 s on TPU), then render the orbit through "
+                        "the gather-free bounded renderer (fused Pallas "
+                        "kernel on TPU) — the fastest path")
+    p.add_argument("--distill_steps", type=int, default=2000)
+    p.add_argument("--n_samples", type=int, default=32)
     args, rest = p.parse_known_args(argv)
     cfg = load_config(rest)
 
@@ -67,7 +74,31 @@ def main(argv=None) -> None:
     poses = np.stack(
         [pose_spherical(a, 0.0, 16.0) for a in np.linspace(-180, 180, args.n_views + 1)[:-1]]
     )
-    if args.fast:
+    if args.distill:
+        from mofanerf_tpu.render.serve import render_frame_serve
+        from mofanerf_tpu.train.distill import DistillConfig, distill
+
+        st, scfg = distill(
+            params["fine"], spec.fine, cond.fine,
+            DistillConfig(n_steps=args.distill_steps,
+                          near=spec.render.near, far=spec.render.far),
+            log_every=max(1, args.distill_steps // 4),
+        )
+        rf = max(1, args.render_factor)
+        H = W = 512 // rf
+        Kr = jnp.asarray(
+            np.array([[1200.0 / rf, 0, W / 2], [0, 1200.0 / rf, H / 2], [0, 0, 1]])
+        )
+        fused = jax.default_backend() == "tpu"
+        pkt = min(16384, max(256, (H * W) // 4 // 256 * 256))
+        frame = jax.jit(lambda pose: render_frame_serve(
+            st.params, scfg, st.cond, H, W, Kr, pose,
+            near=spec.render.near, far=spec.render.far,
+            n_samples=args.n_samples, packet_size=pkt,
+            hit_fraction=1.0, fused=fused,
+        )["rgb"])
+        rgbs = np.stack([np.asarray(frame(jnp.asarray(p_)[:3])) for p_ in poses])
+    elif args.fast:
         from mofanerf_tpu.ops.occupancy import (
             build_occupancy_grid,
             load_grid,
