@@ -7,6 +7,13 @@ from mofanerf_tpu.models.field import (
     field_param_count,
 )
 from mofanerf_tpu.models.ism import init_ism_params, apply_ism
+from mofanerf_tpu.models.student import (
+    StudentConfig,
+    init_student_params,
+    apply_student,
+    point_apply,
+    init_point_field,
+)
 from mofanerf_tpu.models.tex_encoder import TextureEncoder
 
 __all__ = [
@@ -19,4 +26,9 @@ __all__ = [
     "init_ism_params",
     "apply_ism",
     "TextureEncoder",
+    "StudentConfig",
+    "init_student_params",
+    "apply_student",
+    "point_apply",
+    "init_point_field",
 ]

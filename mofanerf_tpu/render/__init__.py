@@ -1,3 +1,4 @@
+from mofanerf_tpu.render.serve import render_rays_bounded, render_frame_serve
 from mofanerf_tpu.render.renderer import (
     RenderConfig,
     MoFaNeRF,
@@ -22,4 +23,6 @@ __all__ = [
     "render_path",
     "encode_texture",
     "exp_code_for",
+    "render_rays_bounded",
+    "render_frame_serve",
 ]
