@@ -75,13 +75,26 @@ def main(argv=None) -> None:
         [pose_spherical(a, 0.0, 16.0) for a in np.linspace(-180, 180, args.n_views + 1)[:-1]]
     )
     if args.distill:
+        from mofanerf_tpu.ops.bounds import DEFAULT_AABB_MAX, DEFAULT_AABB_MIN
         from mofanerf_tpu.render.serve import render_frame_serve
         from mofanerf_tpu.train.distill import DistillConfig, distill
+
+        # tighten the sampling box from the training-maintained occupancy
+        # grid when available — fewer wasted samples per ray
+        aabb_min, aabb_max = DEFAULT_AABB_MIN, DEFAULT_AABB_MAX
+        grid_path = os.path.join(ckpt_dir, "occupancy_grid.npz")
+        if os.path.exists(grid_path):
+            from mofanerf_tpu.ops.occupancy import grid_aabb, load_grid
+
+            g, _ = load_grid(grid_path)
+            aabb_min, aabb_max = grid_aabb(g)
+            print(f"serving AABB from maintained grid: {aabb_min} .. {aabb_max}")
 
         st, scfg = distill(
             params["fine"], spec.fine, cond.fine,
             DistillConfig(n_steps=args.distill_steps,
-                          near=spec.render.near, far=spec.render.far),
+                          near=spec.render.near, far=spec.render.far,
+                          aabb_min=aabb_min, aabb_max=aabb_max),
             log_every=max(1, args.distill_steps // 4),
         )
         rf = max(1, args.render_factor)
@@ -95,6 +108,7 @@ def main(argv=None) -> None:
             st.params, scfg, st.cond, H, W, Kr, pose,
             near=spec.render.near, far=spec.render.far,
             n_samples=args.n_samples, packet_size=pkt,
+            aabb_min=aabb_min, aabb_max=aabb_max,
             hit_fraction=1.0, fused=fused,
         )["rgb"])
         rgbs = np.stack([np.asarray(frame(jnp.asarray(p_)[:3])) for p_ in poses])

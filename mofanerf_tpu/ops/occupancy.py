@@ -178,6 +178,31 @@ def render_rays_occupancy(
     return {"rgb": c.rgb, "disp": c.disp, "acc": c.acc, "depth": c.depth}
 
 
+def grid_aabb(grid: OccupancyGrid, margin_cells: int = 1):
+    """Tight AABB of the grid's occupied cells (+ a safety margin), host-side.
+
+    Connects the training-maintained grid to the serving path: the bounded
+    renderer (render/serve.py) packs all its samples inside this box, so a
+    tighter box is a direct sampling-density win. Falls back to the grid's
+    full AABB when nothing is occupied."""
+    import numpy as np
+
+    occ = np.asarray(grid.occ)
+    G = occ.shape[0]
+    lo = np.asarray(grid.aabb_min, np.float64)
+    hi = np.asarray(grid.aabb_max, np.float64)
+    if not occ.any():
+        return tuple(lo.tolist()), tuple(hi.tolist())
+    cell = (hi - lo) / G
+    idx = np.stack(np.nonzero(occ), axis=-1)  # [K, 3]
+    cmin = np.maximum(idx.min(axis=0) - margin_cells, 0)
+    cmax = np.minimum(idx.max(axis=0) + 1 + margin_cells, G)
+    return (
+        tuple((lo + cmin * cell).tolist()),
+        tuple((lo + cmax * cell).tolist()),
+    )
+
+
 def save_grid(path: str, grid: OccupancyGrid, density_ema=None) -> None:
     """Persist a grid (+ optional EMA density carry) as a compressed npz —
     the training loop's sidecar checkpoint format."""

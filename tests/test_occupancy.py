@@ -359,3 +359,25 @@ def test_grid_tracks_moving_density():
         grid, ema = update_occupancy_grid(grid, ema, clear, CFG, cond,
                                           decay=0.5, density_threshold=10.0)
     assert not bool(grid.occ.any()), "grid did not decay after density left"
+
+
+def test_grid_aabb_tight_box():
+    from mofanerf_tpu.ops.occupancy import grid_aabb
+
+    G = 10
+    occ = np.zeros((G, G, G), bool)
+    occ[2:4, 5, 7] = True
+    grid = OccupancyGrid(jnp.asarray(occ), jnp.asarray([0.0] * 3),
+                         jnp.asarray([10.0] * 3))
+    lo, hi = grid_aabb(grid, margin_cells=0)
+    np.testing.assert_allclose(lo, [2.0, 5.0, 7.0])
+    np.testing.assert_allclose(hi, [4.0, 6.0, 8.0])
+    # margin clamps at the grid edge
+    lo2, hi2 = grid_aabb(grid, margin_cells=10)
+    np.testing.assert_allclose(lo2, [0.0] * 3)
+    np.testing.assert_allclose(hi2, [10.0] * 3)
+    # empty grid falls back to the full box
+    empty = OccupancyGrid(jnp.zeros((G, G, G), bool), grid.aabb_min, grid.aabb_max)
+    lo3, hi3 = grid_aabb(empty)
+    np.testing.assert_allclose(lo3, [0.0] * 3)
+    np.testing.assert_allclose(hi3, [10.0] * 3)
