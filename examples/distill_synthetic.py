@@ -89,7 +89,9 @@ def main() -> None:
         coarse = FieldConfig(depth=8, width=256, compute_dtype=jnp.bfloat16)
         fine = FieldConfig(depth=10, width=1024, compute_dtype=jnp.bfloat16)
         teacher_desc = "8x256+10x1024 bf16 (reference dims)"
-        lrate = 5e-4
+        # flagship width NEEDS the reference lr: at 5e-4 the field is
+        # bistable (collapse/fog) — see artifacts/lm_anneal.json
+        lrate = 5e-5
     else:
         coarse = FieldConfig(depth=8, width=args.width)
         fine = FieldConfig(depth=8, width=args.width * 2)
@@ -109,14 +111,17 @@ def main() -> None:
     uv = jnp.full((128, 128, 3), 0.5)
     images = {}
 
-    def batch_for():
+    def batch_for(i=0):
         img_i = int(rng.choice(ds.i_split[0]))
         if img_i not in images:
             img = imageio.imread(ds.image_paths[img_i]).astype(np.float32) / 255.0
             images[img_i] = img[..., :3]
         target = images[img_i]
         obj_r, obj_c = np.nonzero(target.sum(-1) > 0.05)
-        n_obj = min(614, obj_r.shape[0])
+        # anneal the object bias in (data/landmarks.py::anneal_lm_frac
+        # rationale): full bias from step 0 risks the fog basin at large
+        # widths
+        n_obj = min(int(614 * min(1.0, i / 1000)), obj_r.shape[0])
         pick = rng.integers(0, obj_r.shape[0], n_obj) if n_obj else np.empty(0, int)
         obj_coords = np.stack([obj_r[pick], obj_c[pick]], -1)
         n_uni = 1024 - n_obj
@@ -129,7 +134,7 @@ def main() -> None:
 
     t0 = time.time()
     for i in range(args.iters):
-        state, m = step_fn(state, batch_for(), jax.random.PRNGKey(i))
+        state, m = step_fn(state, batch_for(i), jax.random.PRNGKey(i))
         if i % 200 == 0:
             print(f"[TEACHER] iter {i} loss {float(m['loss']):.4f} "
                   f"psnr {float(m['psnr']):.2f} ({(i + 1) / (time.time() - t0):.1f} it/s)")
