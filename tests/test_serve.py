@@ -195,3 +195,30 @@ def test_distill_field_arch_still_works():
                               jnp.zeros((4, 3)), jnp.eye(3)[jnp.asarray([0, 1, 2, 0])],
                               NEAR, FAR, 8)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_bucket_fraction():
+    from mofanerf_tpu.ops.sweep import HIT_BUDGET_BUCKETS, bucket_fraction
+
+    assert bucket_fraction(0.0) == 0.25
+    assert bucket_fraction(0.25) == 0.25
+    assert bucket_fraction(0.2501) == 0.5
+    assert bucket_fraction(0.74) == 0.75
+    assert bucket_fraction(1.0) == 1.0
+    assert bucket_fraction(0.3, buckets=(0.5, 1.0)) == 0.5
+    assert HIT_BUDGET_BUCKETS[-1] == 1.0  # auto mode can never drop rays
+
+
+def test_embed_constants_match_fourier_embed():
+    """sin(pts @ A + phase) must reproduce fourier_embed's channels after
+    the identity dims, in the exact reference order."""
+    from mofanerf_tpu.ops.pallas_serve import _embed_constants
+
+    for mr in (4, 8, 10):
+        A, phase = _embed_constants(mr)
+        pts = jnp.asarray(np.random.default_rng(mr).uniform(-2, 2, (32, 3)),
+                          jnp.float32)
+        got = jnp.sin(pts @ jnp.asarray(A) + jnp.asarray(phase))
+        want = fourier_embed(pts, mr)[:, 3:]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
