@@ -35,12 +35,10 @@ def bucket_fraction(frac: float, buckets=HIT_BUDGET_BUCKETS) -> float:
     return 1.0
 
 
-def sweep_frame(
+def sweep_rays(
     ray_fn: Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
-    H: int,
-    W: int,
-    K: jnp.ndarray,
-    c2w: jnp.ndarray,
+    ro_flat: jnp.ndarray,   # [N, 3]
+    rd_flat: jnp.ndarray,   # [N, 3]
     packet_size: int,
     aabb_min=None,
     aabb_max=None,
@@ -49,14 +47,13 @@ def sweep_frame(
     hit_fraction: float | None = 1.0,
     white_bkgd: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Render a full frame by sweeping `ray_fn` (rays_o, rays_d) -> dict of
-    per-ray outputs over fixed-size packets. Requires aabb_min/aabb_max for
-    any hit_fraction != 1.0. Returns [H, W, ...] maps."""
-    rays_o, rays_d = get_rays(H, W, K, c2w)
-    n = H * W
+    """Sweep `ray_fn` over an arbitrary flat ray stream in fixed-size
+    packets with optional slab compaction. Returns flat [N, ...] maps —
+    the frame/path renderers reshape. Batching several frames into one
+    stream amortizes packet glue and lets compaction pool background
+    across frames."""
+    n = ro_flat.shape[0]
     p = min(packet_size, n)
-    ro_flat = rays_o.reshape(-1, 3)
-    rd_flat = rays_d.reshape(-1, 3)
 
     if hit_fraction is None:
         _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
@@ -97,5 +94,23 @@ def sweep_frame(
             full = full.at[sel].set(flat)
         else:
             full = flat
-        out[k] = full.reshape((H, W) + full.shape[1:])
+        out[k] = full
     return out
+
+
+def sweep_frame(
+    ray_fn: Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
+    H: int,
+    W: int,
+    K: jnp.ndarray,
+    c2w: jnp.ndarray,
+    packet_size: int,
+    **kw,
+) -> Dict[str, jnp.ndarray]:
+    """Render a full frame by sweeping `ray_fn` (rays_o, rays_d) -> dict of
+    per-ray outputs over fixed-size packets. Requires aabb_min/aabb_max for
+    any hit_fraction != 1.0 (see sweep_rays). Returns [H, W, ...] maps."""
+    rays_o, rays_d = get_rays(H, W, K, c2w)
+    out = sweep_rays(ray_fn, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+                     packet_size, **kw)
+    return {k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()}

@@ -222,3 +222,26 @@ def test_embed_constants_match_fourier_embed():
         want = fourier_embed(pts, mr)[:, 3:]
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_render_path_serve_matches_per_frame():
+    from mofanerf_tpu.ops.rays import pose_spherical
+    from mofanerf_tpu.render.serve import render_path_serve
+
+    params, cond, _, _ = _setup()
+    K = jnp.asarray([[8.0, 0, 8], [0, 8.0, 8], [0, 0, 1]])
+    poses = jnp.stack([jnp.asarray(pose_spherical(a, -5.0, 16.0))
+                       for a in (0.0, 40.0, 80.0)])
+    kw = dict(near=NEAR, far=FAR, n_samples=8,
+              aabb_min=(-2.0,) * 3, aabb_max=(2.0,) * 3)
+    batched = render_path_serve(params, CFG, cond, poses, 16, 16, K,
+                                packet_size=128, hit_fraction=None, **kw)
+    assert batched["rgb"].shape == (3, 16, 16, 3)
+    for i in range(3):
+        single = render_frame_serve(params, CFG, cond, 16, 16, K,
+                                    poses[i][:3], packet_size=128,
+                                    hit_fraction=1.0, **kw)
+        np.testing.assert_allclose(np.asarray(batched["rgb"][i]),
+                                   np.asarray(single["rgb"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batched["acc"][i]),
+                                   np.asarray(single["acc"]), atol=1e-5)
