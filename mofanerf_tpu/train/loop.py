@@ -66,6 +66,17 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
     os.makedirs(exp_dir, exist_ok=True)
     logger = TrainLogger(os.path.join(exp_dir, "train_log.txt"))
 
+    # per-run config snapshot (run_train.py:213-224 parity): args.txt with
+    # every flag, config.txt mirroring the config file when one was used
+    import dataclasses as _dc
+
+    with open(os.path.join(exp_dir, "args.txt"), "w") as f:
+        for k, v in sorted(_dc.asdict(cfg).items()):
+            f.write(f"{k} = {v}\n")
+    if cfg.config and os.path.exists(cfg.config):
+        with open(cfg.config) as src, open(os.path.join(exp_dir, "config.txt"), "w") as dst:
+            dst.write(src.read())
+
     persons = valid_persons(cfg.datadir, cfg.person_num)
     shape_codes = load_shape_codes(cfg.shape_codes_path)
     ds = load_facescape_data(

@@ -103,3 +103,25 @@ def test_train_loop_maintains_occupancy_grid(tmp_path):
     train(cfg, n_iters=6)
     log = (tmp_path / "logs" / "gridsmoke" / "train_log.txt").read_text()
     assert "resumed occupancy grid" in log
+
+
+def test_train_loop_writes_config_snapshot(tmp_path):
+    """args.txt snapshot parity (reference run_train.py:213-224)."""
+    from mofanerf_tpu.train.loop import train
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=1, n_train=1, n_test=1, hw=16)
+    cfg = Config(
+        expname="snap", basedir=str(tmp_path / "logs"), datadir=str(data_dir),
+        uvdir=str(data_dir / "uv"),
+        shape_codes_path=str(data_dir / "factors_id.npy"),
+        landmarks_path=str(data_dir / "landmarks.npy"), person_num=1,
+        netdepth=8, netwidth=16, netdepth_fine=8, netwidth_fine=16,
+        N_rand=8, N_samples=4, N_importance=4, precrop_iters=0,
+        i_print=100, i_weights=100, i_testset=100,
+        compute_dtype="float32", packet_size=64, testskip=1, i_grid=0,
+    )
+    train(cfg, n_iters=1)
+    args_txt = (tmp_path / "logs" / "snap" / "args.txt").read_text()
+    assert "netwidth_fine = 16" in args_txt
+    assert "lrate = 5e-05" in args_txt
