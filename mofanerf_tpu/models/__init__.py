@@ -11,6 +11,7 @@ from mofanerf_tpu.models.student import (
     StudentConfig,
     init_student_params,
     apply_student,
+    fold_student_code,
     point_apply,
     init_point_field,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "StudentConfig",
     "init_student_params",
     "apply_student",
+    "fold_student_code",
     "point_apply",
     "init_point_field",
 ]

@@ -42,6 +42,16 @@ class StudentConfig:
     skip: int = -1               # trunk index to re-inject pe (-1 = none)
     multires: int = 8            # serving nets tolerate fewer bands; measure
     multires_views: int = 4
+    cond_dim: int = 0            # >0: code-conditioned student — a `cond_dim`
+                                 # code (e.g. the ISM-modulated expression
+                                 # latent, 30) contributes a bias to the
+                                 # input layer and every trunk layer. Codes
+                                 # fold to plain biases per frame
+                                 # (`fold_student_code`), so the serving hot
+                                 # path — including the fused Pallas kernel
+                                 # — is IDENTICAL to the unconditioned
+                                 # student's: one student serves all 20
+                                 # expressions + interpolations for free.
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -56,15 +66,16 @@ class StudentConfig:
 def init_student_params(key: jax.Array, cfg: StudentConfig) -> Params:
     W = cfg.width
     pe, ve = cfg.pts_embed_dim, cfg.views_embed_dim
-    ks = jax.random.split(key, 4 + 2 * cfg.depth + 8)
+    cd = cfg.cond_dim
+    ks = jax.random.split(key, 6 + 2 * cfg.depth + 8)
     ki = iter(range(len(ks)))
 
     def nk():
         return ks[next(ki)]
 
-    def dense(total_in, out):
+    def dense(total_in, out, block_in=None):
         return {
-            "w": _xavier_relu_block(nk(), total_in, out, total_in),
+            "w": _xavier_relu_block(nk(), total_in, out, block_in or total_in),
             "b": _bias(nk(), total_in, out),
         }
 
@@ -72,14 +83,49 @@ def init_student_params(key: jax.Array, cfg: StudentConfig) -> Params:
     for i in range(cfg.depth):
         t_in = W + (pe if i == cfg.skip else 0)
         layers.append(dense(t_in, W))
-    return {
-        "input": dense(pe, W),
+    params = {
+        # conditioned: the input layer's true fan-in is concat([pe, code])
+        "input": dense(pe + cd, W, block_in=pe) if cd else dense(pe, W),
         "layers": layers,
         "sigma": dense(W, 1),
         "feat": dense(W, W // 2),
         "view": {"w_dirs": _xavier_relu_block(nk(), ve + W, W // 2, ve)},
         "rgb": dense(W // 2, 3),
     }
+    if cd:
+        params["cond"] = {
+            "w_in": _xavier_relu_block(nk(), pe + cd, W, cd),
+            # trunk injections start at zero: the conditioned student begins
+            # exactly as an unconditioned one and gradients grow per-layer
+            # code sensitivity only where the distillation target needs it
+            "w_layers": jnp.zeros((cfg.depth, cd, W), jnp.float32),
+        }
+    return params
+
+
+def fold_student_code(params: Params, code: jnp.ndarray) -> Params:
+    """Fold a conditioning code [cond_dim] into plain student params.
+
+    `concat([x, code]) @ W == x @ W_x + code @ W_c`, so the code's
+    contribution is a bias: `b0' = b0 + code @ w_in`,
+    `bl_i' = bl_i + code @ w_layers[i]`. The result has the EXACT layout of
+    an unconditioned student — every renderer (incl. the fused Pallas
+    kernel, ops/pallas_serve.py) runs it unchanged at unchanged cost.
+    Differentiable w.r.t. both params and code (distillation and fitting
+    flow through the fold)."""
+    if "cond" not in params:
+        return params
+    c = params["cond"]
+    folded = {k: v for k, v in params.items() if k != "cond"}
+    folded["input"] = {
+        "w": params["input"]["w"],
+        "b": params["input"]["b"] + code @ c["w_in"],
+    }
+    folded["layers"] = [
+        {"w": l["w"], "b": l["b"] + code @ c["w_layers"][i]}
+        for i, l in enumerate(params["layers"])
+    ]
+    return folded
 
 
 def student_param_count(params: Params) -> int:
@@ -122,9 +168,13 @@ def apply_student(
 # ---------------------------------------------------------------------------
 
 def point_apply(params, cond, pts_embed, dir_feat, cfg, samples_per_ray=None):
-    """(pe, dirf) -> (raw_rgb, raw_sigma) for either field family. `cond`
-    is ignored for StudentConfig (a student has no codes)."""
+    """(pe, dirf) -> (raw_rgb, raw_sigma) for either field family. For
+    StudentConfig, `cond` is the conditioning code [cond_dim] (folded into
+    biases here — tiny matmuls) or None for unconditioned students; omitting
+    it on a conditioned student is equivalent to code = 0."""
     if isinstance(cfg, StudentConfig):
+        if cond is not None:
+            params = fold_student_code(params, cond)
         return apply_student(params, pts_embed, dir_feat, cfg, samples_per_ray)
     return apply_field_folded(params, cond, pts_embed, dir_feat, cfg, samples_per_ray)
 

@@ -165,6 +165,10 @@ def render_rays_bounded_fused(
     assert isinstance(cfg, StudentConfig) and cfg.skip == -1, (
         "fused path supports the lean skipless student"
     )
+    assert "cond" not in params, (
+        "conditioned student: fold the code first (fold_student_code) — the "
+        "folded params run this kernel unchanged"
+    )
     N = rays_o.shape[0]
     assert N % _BLOCK_R == 0, f"ray count {N} not a multiple of {_BLOCK_R}"
     S = n_samples

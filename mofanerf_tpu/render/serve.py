@@ -24,7 +24,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from mofanerf_tpu.models.student import point_apply
+from mofanerf_tpu.models.student import StudentConfig, fold_student_code, point_apply
 from mofanerf_tpu.ops.bounds import (
     DEFAULT_AABB_MAX,
     DEFAULT_AABB_MIN,
@@ -104,7 +104,13 @@ def render_frame_serve(
 
     fused=True routes packets through the Pallas fused kernel
     (ops/pallas_serve.py; StudentConfig with skip=-1, packet_size a
-    multiple of 256) — measured ~1.2-1.4x the XLA path on v5e."""
+    multiple of 256) — measured ~1.2-1.4x the XLA path on v5e.
+
+    For a code-conditioned student (cfg.cond_dim > 0), pass the conditioning
+    code as `cond`; it folds to biases here so the per-packet hot path (both
+    fused and XLA) is identical to an unconditioned student's."""
+    if isinstance(cfg, StudentConfig) and cond is not None:
+        params, cond = fold_student_code(params, cond), None
     if fused:
         from mofanerf_tpu.ops.pallas_serve import render_rays_bounded_fused
 
@@ -150,6 +156,9 @@ def render_path_serve(
     measured ~2x from N=8k to N=64k rays) and slab compaction pools
     background across the whole path. Returns [F, H, W, ...] maps."""
     from mofanerf_tpu.ops.rays import get_rays
+
+    if isinstance(cfg, StudentConfig) and cond is not None:
+        params, cond = fold_student_code(params, cond), None
 
     poses = jnp.asarray(poses)
     F = poses.shape[0]

@@ -6,9 +6,16 @@ from mofanerf_tpu.train.state import (
     lr_at,
 )
 
-from mofanerf_tpu.train.distill import DistillConfig, StudentState, distill
+from mofanerf_tpu.train.distill import (
+    DistillConfig,
+    StudentState,
+    distill,
+    distill_expressions,
+    student_code,
+)
 
 __all__ = [
     "TrainState", "create_train_state", "make_optimizer", "train_step",
     "lr_at", "DistillConfig", "StudentState", "distill",
+    "distill_expressions", "student_code",
 ]

@@ -51,6 +51,9 @@ class DistillConfig:
     width: int = 128
     skip: int = -1                # mlp arch: pe re-injection layer (-1 off)
     multires: int = 0             # 0 = inherit the teacher's band count
+    cond_dim: int = 0             # >0 (mlp arch): code-conditioned student —
+                                  # one distillation covers the whole
+                                  # expression bank (distill_expressions)
     n_steps: int = 2000
     batch: int = 32768
     lr: float = 1e-3
@@ -71,8 +74,9 @@ class DistillConfig:
             return StudentConfig(
                 depth=self.depth, width=self.width, skip=self.skip,
                 multires=mr, multires_views=teacher.multires_views,
-                compute_dtype=self.compute_dtype,
+                cond_dim=self.cond_dim, compute_dtype=self.compute_dtype,
             )
+        assert self.cond_dim == 0, "conditioned students use arch='mlp'"
         return FieldConfig(
             depth=self.depth, width=self.width,
             multires=mr, multires_views=teacher.multires_views,
@@ -222,4 +226,135 @@ def distill(
         done += n
         if log_every:
             print(f"[DISTILL] step {done}/{dcfg.n_steps} loss {float(loss):.5f}")
+    return state, student_cfg
+
+
+# ---------------------------------------------------------------------------
+# Expression-conditioned distillation: ONE student per (identity, texture)
+# covering the whole expression bank + interpolations
+# ---------------------------------------------------------------------------
+
+def student_code(model_params: Params, shape_code: jnp.ndarray,
+                 raw_exp_code: jnp.ndarray) -> jnp.ndarray:
+    """The conditioning code a conditioned student expects: the
+    ISM-modulated expression latent (the quantity that actually
+    parameterizes the teacher's geometry — models/ism.py). `raw_exp_code`
+    is a bank latent (`exp_code_for`) or any convex mixture of them."""
+    from mofanerf_tpu.models.ism import modulate_expression
+
+    return modulate_expression(model_params["ism"], shape_code, raw_exp_code)
+
+
+def _sample_exp_code(key, exp_bank: jnp.ndarray):
+    """Random point on (and at the corners of) the expression simplex edges:
+    a convex mix of two bank codes with the mix weight drawn U(-0.25, 1.25)
+    clipped to [0, 1] — point mass at the endpoints (the 20 trained
+    expressions) plus uniform coverage of pairwise interpolations (the
+    reference's rigging path sweeps exactly these, run_fit.py:379-431)."""
+    ki, kj, ka = jax.random.split(key, 3)
+    n = exp_bank.shape[0]
+    i = jax.random.randint(ki, (), 0, n)
+    j = jax.random.randint(kj, (), 0, n)
+    a = jnp.clip(jax.random.uniform(ka, (), minval=-0.25, maxval=1.25), 0.0, 1.0)
+    return (1.0 - a) * exp_bank[i] + a * exp_bank[j]
+
+
+def distill_exp_step(
+    state: StudentState,
+    tx: optax.GradientTransformation,
+    teacher_params: Params,     # the fine field subtree
+    teacher_cfg: FieldConfig,
+    ism_params: Params,
+    exp_bank: jnp.ndarray,      # [E, exp_dim] raw bank latents to cover
+    shape_code: jnp.ndarray,
+    tex_code: jnp.ndarray,
+    dcfg: DistillConfig,
+    student_cfg,
+    key: jax.Array,
+):
+    """One conditioned distillation step: sample an expression code, fold
+    the teacher's conditioning for it IN-GRAPH (tiny matmuls), and match
+    the student — whose own code input folds to biases
+    (models/student.py::fold_student_code) — at the same points."""
+    from mofanerf_tpu.models.field import fold_conditioning
+    from mofanerf_tpu.models.ism import modulate_expression
+
+    kc, kp = jax.random.split(key)
+    raw = _sample_exp_code(kc, exp_bank)
+    exp_mod = modulate_expression(ism_params, shape_code, raw)
+    teacher_cond = fold_conditioning(teacher_params, shape_code, exp_mod, tex_code)
+    pts, dirs = _sample_points(kp, dcfg, dcfg.batch)
+
+    def loss_fn(p):
+        return distill_loss(
+            p, student_cfg, exp_mod,
+            teacher_params, teacher_cfg, teacher_cond, pts, dirs,
+        )
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics["loss"] = loss
+    return StudentState(new_params, None, new_opt, state.step + 1), metrics
+
+
+def distill_expressions(
+    model_params: Params,        # FULL model pytree: fine + ism + exp_codes
+    spec,                        # render.renderer.MoFaNeRF
+    shape_code: jnp.ndarray,
+    tex_code: jnp.ndarray,
+    dcfg: DistillConfig | None = None,
+    exp_ids=None,                # bank slots to cover (default: the 20 trained)
+    seed: int = 0,
+    log_every: int = 0,
+) -> Tuple[StudentState, Any]:
+    """Distill ONE code-conditioned student covering every expression in
+    `exp_ids` plus their pairwise interpolations — the serving-path analog
+    of the reference's expression rigging (run_fit.py:379-431,
+    `rendering_modulation`), amortizing per-avatar distillation across the
+    whole bank. Render with::
+
+        code = student_code(model_params, shape_code, raw_exp)
+        render_frame_serve(st.params, scfg, code, ...)   # cond = the code
+
+    The fold keeps serving throughput identical to an unconditioned
+    student's (same matmuls, same fused kernel).
+    """
+    if dcfg is None:
+        dcfg = DistillConfig(cond_dim=int(spec.exp_dim))
+    assert dcfg.cond_dim == spec.exp_dim, (
+        f"cond_dim {dcfg.cond_dim} != exp_dim {spec.exp_dim}"
+    )
+    if exp_ids is None:
+        from mofanerf_tpu.render.renderer import N_EXPRESSIONS
+
+        exp_ids = list(range(N_EXPRESSIONS))
+    exp_bank = jnp.asarray(model_params["exp_codes"])[jnp.asarray(exp_ids)]
+
+    student_cfg = dcfg.student_config(spec.fine)
+    state, tx = init_student(jax.random.PRNGKey(seed), student_cfg, dcfg.lr)
+    teacher_params = model_params["fine"]
+    ism_params = model_params["ism"]
+
+    @jax.jit
+    def run(state, k0, n):
+        def body(i, carry):
+            st, _ = carry
+            st, m = distill_exp_step(
+                st, tx, teacher_params, spec.fine, ism_params, exp_bank,
+                shape_code, tex_code, dcfg, student_cfg,
+                jax.random.fold_in(k0, i),
+            )
+            return st, m["loss"]
+        return jax.lax.fori_loop(0, n, body, (state, jnp.asarray(0.0)))
+
+    key = jax.random.PRNGKey(seed + 1)
+    window = log_every if log_every > 0 else dcfg.n_steps
+    done = 0
+    while done < dcfg.n_steps:
+        n = min(window, dcfg.n_steps - done)
+        state, loss = run(state, jax.random.fold_in(key, done), n)
+        done += n
+        if log_every:
+            print(f"[DISTILL-EXP] step {done}/{dcfg.n_steps} loss {float(loss):.5f}")
     return state, student_cfg
