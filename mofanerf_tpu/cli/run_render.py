@@ -43,6 +43,16 @@ def main(argv=None) -> None:
                         "(~10-30 s on TPU), then render the orbit through "
                         "the gather-free bounded renderer (fused Pallas "
                         "kernel on TPU) — the fastest path")
+    p.add_argument("--distill_cond", action="store_true",
+                   help="expression rigging at serving speed: distill ONE "
+                        "code-conditioned student over the whole expression "
+                        "bank, then render the orbit while morphing through "
+                        "--rig_expressions (the reference's "
+                        "rendering_modulation, run_fit.py:379-431, at "
+                        "serving-path throughput)")
+    p.add_argument("--rig_expressions", default="9,14,2,16,17",
+                   help="comma-separated bank slots the rig sweeps through "
+                        "(reference default list, run_fit.py:388)")
     p.add_argument("--distill_steps", type=int, default=2000)
     p.add_argument("--n_samples", type=int, default=32)
     args, rest = p.parse_known_args(argv)
@@ -74,10 +84,15 @@ def main(argv=None) -> None:
     poses = np.stack(
         [pose_spherical(a, 0.0, 16.0) for a in np.linspace(-180, 180, args.n_views + 1)[:-1]]
     )
-    if args.distill:
+    if args.distill or args.distill_cond:
         from mofanerf_tpu.ops.bounds import DEFAULT_AABB_MAX, DEFAULT_AABB_MIN
         from mofanerf_tpu.render.serve import render_frame_serve
-        from mofanerf_tpu.train.distill import DistillConfig, distill
+        from mofanerf_tpu.train.distill import (
+            DistillConfig,
+            distill,
+            distill_expressions,
+            student_code,
+        )
 
         # tighten the sampling box from the training-maintained occupancy
         # grid when available — fewer wasted samples per ray
@@ -90,13 +105,21 @@ def main(argv=None) -> None:
             aabb_min, aabb_max = grid_aabb(g)
             print(f"serving AABB from maintained grid: {aabb_min} .. {aabb_max}")
 
-        st, scfg = distill(
-            params["fine"], spec.fine, cond.fine,
-            DistillConfig(n_steps=args.distill_steps,
-                          near=spec.render.near, far=spec.render.far,
-                          aabb_min=aabb_min, aabb_max=aabb_max),
-            log_every=max(1, args.distill_steps // 4),
-        )
+        dcfg_kw = dict(n_steps=args.distill_steps,
+                       near=spec.render.near, far=spec.render.far,
+                       aabb_min=aabb_min, aabb_max=aabb_max)
+        if args.distill_cond:
+            st, scfg = distill_expressions(
+                params, spec, shape, tex,
+                DistillConfig(cond_dim=spec.exp_dim, **dcfg_kw),
+                log_every=max(1, args.distill_steps // 4),
+            )
+        else:
+            st, scfg = distill(
+                params["fine"], spec.fine, cond.fine,
+                DistillConfig(**dcfg_kw),
+                log_every=max(1, args.distill_steps // 4),
+            )
         rf = max(1, args.render_factor)
         H = W = 512 // rf
         Kr = jnp.asarray(
@@ -104,14 +127,36 @@ def main(argv=None) -> None:
         )
         fused = jax.default_backend() == "tpu"
         pkt = min(16384, max(256, (H * W) // 4 // 256 * 256))
-        frame = jax.jit(lambda pose: render_frame_serve(
-            st.params, scfg, st.cond, H, W, Kr, pose,
+        frame = jax.jit(lambda pose, c: render_frame_serve(
+            st.params, scfg, c, H, W, Kr, pose,
             near=spec.render.near, far=spec.render.far,
             n_samples=args.n_samples, packet_size=pkt,
             aabb_min=aabb_min, aabb_max=aabb_max,
             hit_fraction=1.0, fused=fused,
         )["rgb"])
-        rgbs = np.stack([np.asarray(frame(jnp.asarray(p_)[:3])) for p_ in poses])
+        if args.distill_cond:
+            # morph the raw expression latent through the rig list across
+            # the orbit, ISM-modulate per frame — ONE compiled frame fn,
+            # code is a traced argument (zero recompiles)
+            rig = [int(s) for s in args.rig_expressions.split(",")]
+            n_f = len(poses)
+            codes = []
+            for fidx in range(n_f):
+                t = fidx / max(1, n_f - 1) * (len(rig) - 1)
+                i0 = min(int(t), len(rig) - 2)
+                a = t - i0
+                raw = ((1.0 - a) * exp_code_for(params, rig[i0])
+                       + a * exp_code_for(params, rig[i0 + 1]))
+                codes.append(student_code(params, shape, raw))
+            rgbs = np.stack([
+                np.asarray(frame(jnp.asarray(p_)[:3], c))
+                for p_, c in zip(poses, codes)
+            ])
+        else:
+            code0 = st.cond
+            rgbs = np.stack([
+                np.asarray(frame(jnp.asarray(p_)[:3], code0)) for p_ in poses
+            ])
     elif args.fast:
         from mofanerf_tpu.ops.occupancy import (
             build_occupancy_grid,

@@ -61,9 +61,10 @@ def _embed_constants(multires: int):
     return A, phase
 
 
-def _serve_kernel(cfg: StudentConfig, n_samples: int, white_bkgd: bool):
+def _serve_kernel(cfg: StudentConfig, n_samples: int, white_bkgd: bool,
+                  block_r: int):
     S = n_samples
-    R = _BLOCK_R
+    R = block_r
     D = cfg.depth
     dt = cfg.compute_dtype
 
@@ -154,9 +155,15 @@ def render_rays_bounded_fused(
     aabb_max=DEFAULT_AABB_MAX,
     white_bkgd: bool = False,
     interpret: bool | None = None,
+    block_r: int = _BLOCK_R,
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in fused equivalent of render_rays_bounded for StudentConfig
-    fields (skip == -1). N must be a multiple of 256.
+    fields (skip == -1). N must be a multiple of `block_r` (rays per kernel
+    program; see scratch/exp_serve_kernel.out for the v5e sweep).
+
+    (A packed sigma|feat single-head matmul was tried and reverted: the
+    [W, W2+1] output consistently crashes the Mosaic compiler on v5e and
+    the predicted win was ~3%.)
 
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere
     (so the fused path works on the CPU test mesh too)."""
@@ -170,7 +177,7 @@ def render_rays_bounded_fused(
         "folded params run this kernel unchanged"
     )
     N = rays_o.shape[0]
-    assert N % _BLOCK_R == 0, f"ray count {N} not a multiple of {_BLOCK_R}"
+    assert N % block_r == 0, f"ray count {N} not a multiple of {block_r}"
     S = n_samples
     W = cfg.width
     W2 = W // 2
@@ -197,7 +204,7 @@ def render_rays_bounded_fused(
     wrgb = params["rgb"]["w"]
     brgb = params["rgb"]["b"].reshape(1, 3)
 
-    R = _BLOCK_R
+    R = block_r
     grid = (N // R,)
     row_block = lambda width: pl.BlockSpec((R, width), lambda i: (i, 0),
                                            memory_space=pltpu.VMEM)
@@ -205,7 +212,7 @@ def render_rays_bounded_fused(
                                         memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        _serve_kernel(cfg, S, white_bkgd),
+        _serve_kernel(cfg, S, white_bkgd, R),
         grid=grid,
         in_specs=[
             row_block(3),            # rays_o

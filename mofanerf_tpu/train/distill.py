@@ -94,6 +94,16 @@ class StudentState(NamedTuple):
 
 def init_student(key: jax.Array, cfg, lr: float = 1e-3):
     params, cond = init_point_field(key, cfg)
+    # warm-start the sigma head positive: a random-init student whose raw
+    # sigma goes negative everywhere loses ALL density gradient to relu's
+    # dead zone and collapses to the empty field (measured on concentrated
+    # teachers — scratch/diag_distexp.out; the same bistability as flagship
+    # training, artifacts/lm_anneal.json). Starting alive lets the empty
+    # majority prune density instead of the dead zone blocking growth.
+    if isinstance(cfg, StudentConfig):
+        params["sigma"]["b"] = params["sigma"]["b"] + 0.5
+    else:  # field arch keeps the trunk layout: alpha head inside sigma
+        params["sigma"]["alpha"]["b"] = params["sigma"]["alpha"]["b"] + 0.5
     tx = optax.adam(lr)
     return StudentState(params, cond, tx.init(params), jnp.asarray(0, jnp.int32)), tx
 
@@ -132,15 +142,19 @@ def _sample_points(key, dcfg: DistillConfig, batch: int):
     )
 
 
-def _field_outputs(params, cfg, cond, pts, dirs):
-    """Activated (rgb [N,3], sigma [N]) of one field at points/dirs."""
+def _field_raw(params, cfg, cond, pts, dirs):
+    """Raw (rgb [N,3], sigma [N]) of one field at points/dirs."""
     pe = fourier_embed(pts, cfg.multires)
     de = fourier_embed(dirs, cfg.multires_views)
     dirf = de @ params["view"]["w_dirs"]
     raw_rgb, raw_sigma = point_apply(params, cond, pe, dirf, cfg)
-    return jax.nn.sigmoid(raw_rgb.astype(jnp.float32)), jax.nn.relu(
-        raw_sigma[:, 0].astype(jnp.float32)
-    )
+    return raw_rgb.astype(jnp.float32), raw_sigma[:, 0].astype(jnp.float32)
+
+
+def _field_outputs(params, cfg, cond, pts, dirs):
+    """Activated (rgb [N,3], sigma [N]) of one field at points/dirs."""
+    raw_rgb, raw_sigma = _field_raw(params, cfg, cond, pts, dirs)
+    return jax.nn.sigmoid(raw_rgb), jax.nn.relu(raw_sigma)
 
 
 def distill_loss(
@@ -156,14 +170,29 @@ def distill_loss(
     rgb_t, sig_t = _field_outputs(teacher_params, teacher_cfg, teacher_cond, pts, dirs)
     rgb_t = jax.lax.stop_gradient(rgb_t)
     sig_t = jax.lax.stop_gradient(sig_t)
-    rgb_s, sig_s = _field_outputs(student_params, student_cfg, student_cond, pts, dirs)
+    raw_rgb_s, raw_sig_s = _field_raw(
+        student_params, student_cfg, student_cond, pts, dirs
+    )
+    rgb_s = jax.nn.sigmoid(raw_rgb_s)
+    sig_s = jax.nn.relu(raw_sig_s)
 
     # rgb matters where the teacher has mass: weight by local opacity at a
     # nominal step (~the serving sample spacing)
     w = 1.0 - jnp.exp(-sig_t * 0.25)
     loss_rgb = jnp.mean(w[:, None] * (rgb_s - rgb_t) ** 2)
     loss_sig = jnp.mean((jnp.log1p(sig_s) - jnp.log1p(sig_t)) ** 2)
-    return loss_rgb + loss_sig, {"loss_rgb": loss_rgb, "loss_sigma": loss_sig}
+    # relu dead-zone rescue: where the teacher HAS density but the student's
+    # raw sigma sits negative, the log1p term has zero gradient (relu) and
+    # the student can collapse to the empty field for concentrated teachers
+    # (scratch/diag_distexp.out). A linear pull on the raw value restores
+    # gradient exactly there and vanishes once the point is alive.
+    dead = (sig_t > 0.01) & (raw_sig_s < 0.0)
+    loss_dead = jnp.mean(
+        jnp.where(dead, -raw_sig_s * jnp.log1p(sig_t), 0.0)
+    )
+    return loss_rgb + loss_sig + loss_dead, {
+        "loss_rgb": loss_rgb, "loss_sigma": loss_sig, "loss_dead": loss_dead,
+    }
 
 
 def distill_step(

@@ -93,3 +93,27 @@ def test_frame_serve_fused_matches_unfused():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(b["acc"]), np.asarray(a["acc"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_block_variants_agree():
+    """block_r is a pure layout knob — outputs must be identical across
+    block sizes."""
+    cfg = StudentConfig(depth=3, width=128, multires=6,
+                        compute_dtype=jnp.float32)
+    params, _ = init_point_field(jax.random.PRNGKey(5), cfg)
+    params["sigma"]["b"] = params["sigma"]["b"] + 1.5
+    ro, rd = _rays(512, seed=5)
+
+    base = render_rays_bounded_fused(params, cfg, ro, rd, NEAR, FAR, 8, *AABB,
+                                     interpret=True, block_r=256)
+    for block_r in (512, 128):
+        got = render_rays_bounded_fused(params, cfg, ro, rd, NEAR, FAR, 8,
+                                        *AABB, interpret=True,
+                                        block_r=block_r)
+        np.testing.assert_allclose(np.asarray(got["rgb"]),
+                                   np.asarray(base["rgb"]),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"{block_r=}")
+        np.testing.assert_allclose(np.asarray(got["acc"]),
+                                   np.asarray(base["acc"]),
+                                   rtol=1e-5, atol=1e-5)
