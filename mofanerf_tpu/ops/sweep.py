@@ -35,6 +35,47 @@ def bucket_fraction(frac: float, buckets=HIT_BUDGET_BUCKETS) -> float:
     return 1.0
 
 
+def _compact_rays(ro_flat, rd_flat, p, aabb_min, aabb_max, near, far,
+                  hit_fraction):
+    """Shared slab-test compaction: order face-hitting rays first and keep a
+    whole-packets budget. Returns (ro, rd, sel, n_eval); sel is None when no
+    compaction applied."""
+    n = ro_flat.shape[0]
+    if hit_fraction is None:
+        _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
+        hit_fraction = bucket_fraction(float(jnp.mean(hit)))
+
+    if hit_fraction < 1.0:
+        _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
+        order = jnp.argsort(~hit)  # hits first, stable
+        # round the budget up to whole packets, clamped to the ray count
+        m = min(int(-(-int(n * hit_fraction) // p) * p), n)
+        sel = order[:m]
+        return ro_flat[sel], rd_flat[sel], sel, m
+    return ro_flat, rd_flat, None, n
+
+
+_BG_FILL = {"rgb": None, "disp": 1e10, "acc": 0.0, "depth": 0.0}
+
+
+def _scatter_background(maps, sel, n, n_eval, white_bkgd):
+    """Unpad packet outputs and scatter compacted rays back over analytic
+    background values (matching composite()'s all-empty-ray outputs)."""
+    out = {}
+    for k, v in maps.items():
+        flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n_eval]
+        if sel is not None:
+            fill = _BG_FILL.get(k, 0.0)
+            if k == "rgb":
+                fill = 1.0 if white_bkgd else 0.0
+            full = jnp.full((n,) + flat.shape[1:], fill, flat.dtype)
+            full = full.at[sel].set(flat)
+        else:
+            full = flat
+        out[k] = full
+    return out
+
+
 def sweep_rays(
     ray_fn: Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
     ro_flat: jnp.ndarray,   # [N, 3]
@@ -54,48 +95,67 @@ def sweep_rays(
     across frames."""
     n = ro_flat.shape[0]
     p = min(packet_size, n)
-
-    if hit_fraction is None:
-        _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
-        hit_fraction = bucket_fraction(float(jnp.mean(hit)))
-
-    if hit_fraction < 1.0:
-        _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
-        order = jnp.argsort(~hit)  # hits first, stable
-        # round the budget up to whole packets, clamped to the ray count
-        m = min(int(-(-int(n * hit_fraction) // p) * p), n)
-        sel = order[:m]
-        ro_flat = ro_flat[sel]
-        rd_flat = rd_flat[sel]
-        n_eval = m
-    else:
-        sel = None
-        n_eval = n
+    ro_flat, rd_flat, sel, n_eval = _compact_rays(
+        ro_flat, rd_flat, p, aabb_min, aabb_max, near, far, hit_fraction
+    )
 
     n_pad = (-n_eval) % p
     ro = jnp.concatenate([ro_flat, jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
     rd = jnp.concatenate([rd_flat, jnp.ones((n_pad, 3))], axis=0).reshape(-1, p, 3)
 
     maps = jax.lax.map(lambda args: ray_fn(args[0], args[1]), (ro, rd))
-
     # background fills match composite()'s values for an all-empty ray so
     # disp/acc/depth are budget-invariant (disp of an empty ray is 1e10)
-    bg_fill = {
-        "rgb": 1.0 if white_bkgd else 0.0,
-        "disp": 1e10,
-        "acc": 0.0,
-        "depth": 0.0,
-    }
-    out = {}
-    for k, v in maps.items():
-        flat = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])[:n_eval]
-        if sel is not None:
-            full = jnp.full((n,) + flat.shape[1:], bg_fill.get(k, 0.0), flat.dtype)
-            full = full.at[sel].set(flat)
-        else:
-            full = flat
-        out[k] = full
-    return out
+    return _scatter_background(maps, sel, n, n_eval, white_bkgd)
+
+
+def sweep_rays_sharded(
+    ray_fn: Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
+    ro_flat: jnp.ndarray,   # [N, 3]
+    rd_flat: jnp.ndarray,   # [N, 3]
+    packet_size: int,
+    mesh,
+    aabb_min=None,
+    aabb_max=None,
+    near: float = 0.0,
+    far: float = jnp.inf,
+    hit_fraction: float | None = 1.0,
+    white_bkgd: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Multi-chip sweep_rays: compaction runs GLOBALLY (background pools
+    across the whole stream), then the compacted rays shard over the
+    mesh's `data` axis via shard_map and every device runs its own
+    sequential packet loop — rays are independent, so no collectives.
+    The multi-chip serving path for orbit/path rendering."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    n = ro_flat.shape[0]
+    n_data = mesh.shape["data"]
+    p = min(packet_size, max(1, n // n_data))
+    ro_flat, rd_flat, sel, n_eval = _compact_rays(
+        ro_flat, rd_flat, p, aabb_min, aabb_max, near, far, hit_fraction
+    )
+
+    stride = p * n_data
+    n_pad = (-n_eval) % stride
+    ro = jnp.concatenate([ro_flat, jnp.ones((n_pad, 3))], axis=0)
+    rd = jnp.concatenate([rd_flat, jnp.ones((n_pad, 3))], axis=0)
+    rs = NamedSharding(mesh, P("data"))
+
+    def local_sweep(o, d):  # per-device [n_local, 3]
+        op = o.reshape(-1, p, 3)
+        dp = d.reshape(-1, p, 3)
+        return jax.lax.map(lambda args: ray_fn(args[0], args[1]), (op, dp))
+
+    # check_vma=False: a pallas_call inside shard_map can't declare its
+    # output's mesh-variance; there are no collectives here to validate
+    f = jax.jit(shard_map(
+        local_sweep, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    ))
+    maps = f(jax.device_put(ro, rs), jax.device_put(rd, rs))
+    return _scatter_background(maps, sel, n, n_eval, white_bkgd)
 
 
 def sweep_frame(

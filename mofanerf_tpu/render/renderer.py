@@ -282,7 +282,7 @@ def _sharded_frame_fn(spec: MoFaNeRF, mesh, p: int):
     """Cached jitted shard_map render — rebuilding the closure per call
     would defeat jit's identity-keyed cache and retrace every frame."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     # Mesh is hashable: equal-but-distinct Mesh objects hit the same entry
     # (keying by id() would recompile per rebuilt mesh and pin dead meshes).
@@ -329,7 +329,7 @@ def render_frame_sharded(
     needed (rays are independent). The multi-chip serving path.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     rays_o, rays_d = get_rays(H, W, K, c2w)
     n = H * W

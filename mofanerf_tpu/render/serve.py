@@ -150,11 +150,16 @@ def render_path_serve(
     packet_size: int = 16384,
     hit_fraction: float | None = None,
     fused: bool = False,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched multi-frame serving render: ALL frames' rays form one packet
     stream, so small frames still fill big packets (packet glue amortizes —
     measured ~2x from N=8k to N=64k rays) and slab compaction pools
-    background across the whole path. Returns [F, H, W, ...] maps."""
+    background across the whole path. Returns [F, H, W, ...] maps.
+
+    mesh: a jax.sharding.Mesh with a `data` axis shards the compacted ray
+    stream across devices (shard_map, no collectives — rays are
+    independent): the multi-chip serving path."""
     from mofanerf_tpu.ops.rays import get_rays
 
     if isinstance(cfg, StudentConfig) and cond is not None:
@@ -186,9 +191,18 @@ def render_path_serve(
                 aabb_min, aabb_max, white_bkgd,
             )
 
-    out = sweep_rays(
-        packet, ro, rd, packet_size,
-        aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
-        hit_fraction=hit_fraction, white_bkgd=white_bkgd,
-    )
+    if mesh is not None:
+        from mofanerf_tpu.ops.sweep import sweep_rays_sharded
+
+        out = sweep_rays_sharded(
+            packet, ro, rd, packet_size, mesh,
+            aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
+            hit_fraction=hit_fraction, white_bkgd=white_bkgd,
+        )
+    else:
+        out = sweep_rays(
+            packet, ro, rd, packet_size,
+            aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
+            hit_fraction=hit_fraction, white_bkgd=white_bkgd,
+        )
     return {k: v.reshape((F, H, W) + v.shape[1:]) for k, v in out.items()}

@@ -164,3 +164,62 @@ def test_tensor_parallel_widths(n_model):
     ref = render_rays(params, spec, cond, ro, rd)
     err = np.abs(np.asarray(out["rgb"]) - np.asarray(ref["rgb"]))
     assert (err > 2e-3).mean() < 0.1 and err.max() < 0.15
+
+
+@pytest.mark.parametrize("n_data", [2, 4, 8])
+def test_serve_path_sharded_matches_single(n_data):
+    """render_path_serve over a data-sharded mesh must reproduce the
+    single-device render exactly (rays are independent; compaction is
+    global, so the budget and background scatter are identical)."""
+    from mofanerf_tpu.models.student import StudentConfig, init_point_field
+    from mofanerf_tpu.ops.rays import pose_spherical
+    from mofanerf_tpu.render.serve import render_path_serve
+
+    cfg = StudentConfig(depth=2, width=32, multires=4,
+                        compute_dtype=jnp.float32)
+    params, cond = init_point_field(jax.random.PRNGKey(11), cfg)
+    params["sigma"]["b"] = params["sigma"]["b"] + 1.0
+
+    poses = np.stack([np.asarray(pose_spherical(a, -10.0, 16.0))
+                      for a in (-30.0, 30.0)])
+    K = jnp.asarray([[16.0, 0, 8.0], [0, 16.0, 8.0], [0, 0, 1.0]])
+    kw = dict(near=8.0, far=26.0, n_samples=4,
+              aabb_min=(-2.0,) * 3, aabb_max=(2.0,) * 3,
+              packet_size=64, hit_fraction=0.5)
+
+    ref = render_path_serve(params, cfg, cond, poses, 16, 16, K, **kw)
+    mesh = make_mesh(n_data=n_data, n_model=1)
+    got = render_path_serve(params, cfg, cond, poses, 16, 16, K, mesh=mesh,
+                            **kw)
+    for k in ("rgb", "acc", "depth"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    assert got["rgb"].shape == (2, 16, 16, 3)
+
+
+def test_serve_path_sharded_fused_and_conditioned():
+    """The sharded sweep composes with the fused kernel (interpret on CPU)
+    and a code-conditioned student."""
+    from mofanerf_tpu.models.student import StudentConfig, init_student_params
+    from mofanerf_tpu.ops.rays import pose_spherical
+    from mofanerf_tpu.render.serve import render_path_serve
+
+    cfg = StudentConfig(depth=2, width=128, multires=4, cond_dim=4,
+                        compute_dtype=jnp.float32)
+    params = init_student_params(jax.random.PRNGKey(12), cfg)
+    params["sigma"]["b"] = params["sigma"]["b"] + 1.0
+    code = jnp.ones(4) * 0.3
+
+    poses = np.stack([np.asarray(pose_spherical(0.0, -10.0, 16.0))])
+    K = jnp.asarray([[37.0, 0, 16.0], [0, 37.0, 16.0], [0, 0, 1.0]])
+    kw = dict(near=8.0, far=26.0, n_samples=4,
+              aabb_min=(-2.0,) * 3, aabb_max=(2.0,) * 3,
+              packet_size=256, hit_fraction=1.0)
+
+    ref = render_path_serve(params, cfg, code, poses, 32, 32, K, fused=True,
+                            **kw)
+    mesh = make_mesh(n_data=4, n_model=1)
+    got = render_path_serve(params, cfg, code, poses, 32, 32, K, fused=True,
+                            mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
+                               rtol=1e-5, atol=1e-6)
