@@ -54,6 +54,10 @@ def main(argv=None) -> None:
                    help="comma-separated bank slots the rig sweeps through "
                         "(reference default list, run_fit.py:388)")
     p.add_argument("--distill_steps", type=int, default=2000)
+    p.add_argument("--student_path", default=None,
+                   help="deployable student artifact (.npz): load it instead "
+                        "of distilling when it exists; otherwise distill "
+                        "once and save it there (serve-from-file)")
     p.add_argument("--n_samples", type=int, default=32)
     args, rest = p.parse_known_args(argv)
     cfg = load_config(rest)
@@ -89,8 +93,11 @@ def main(argv=None) -> None:
         from mofanerf_tpu.render.serve import render_frame_serve
         from mofanerf_tpu.train.distill import (
             DistillConfig,
+            StudentState,
             distill,
             distill_expressions,
+            load_student,
+            save_student,
             student_code,
         )
 
@@ -108,7 +115,16 @@ def main(argv=None) -> None:
         dcfg_kw = dict(n_steps=args.distill_steps,
                        near=spec.render.near, far=spec.render.far,
                        aabb_min=aabb_min, aabb_max=aabb_max)
-        if args.distill_cond:
+        if args.student_path and os.path.exists(args.student_path):
+            sparams, scfg = load_student(args.student_path)
+            st = StudentState(sparams, None, None, jnp.asarray(0))
+            print(f"loaded student artifact: {args.student_path}")
+            if args.distill_cond and scfg.cond_dim == 0:
+                raise SystemExit(
+                    "--distill_cond rig needs a conditioned student but "
+                    f"{args.student_path} is unconditioned (cond_dim=0)"
+                )
+        elif args.distill_cond:
             st, scfg = distill_expressions(
                 params, spec, shape, tex,
                 DistillConfig(cond_dim=spec.exp_dim, **dcfg_kw),
@@ -120,6 +136,9 @@ def main(argv=None) -> None:
                 DistillConfig(**dcfg_kw),
                 log_every=max(1, args.distill_steps // 4),
             )
+        if args.student_path and not os.path.exists(args.student_path):
+            save_student(args.student_path, st.params, scfg)
+            print(f"saved student artifact: {args.student_path}")
         rf = max(1, args.render_factor)
         H = W = 512 // rf
         Kr = jnp.asarray(

@@ -11,11 +11,13 @@ from mofanerf_tpu.train.distill import (
     StudentState,
     distill,
     distill_expressions,
+    load_student,
+    save_student,
     student_code,
 )
 
 __all__ = [
     "TrainState", "create_train_state", "make_optimizer", "train_step",
     "lr_at", "DistillConfig", "StudentState", "distill",
-    "distill_expressions", "student_code",
+    "distill_expressions", "student_code", "save_student", "load_student",
 ]

@@ -259,6 +259,49 @@ def distill(
 
 
 # ---------------------------------------------------------------------------
+# Deployable student artifacts: one .npz per avatar
+# ---------------------------------------------------------------------------
+
+def save_student(path: str, params: Params, cfg) -> None:
+    """Write a distilled student as ONE deployable file: flat params keyed
+    by pytree path + the StudentConfig as JSON metadata. The serving-side
+    analog of the reference's baked artifacts (refineNet corpus renders,
+    render_refine_trainSet.py): distill once, serve from the file."""
+    import json
+
+    import numpy as np
+
+    assert isinstance(cfg, StudentConfig), "artifacts are for StudentConfig"
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrs = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in leaves}
+    meta = dataclasses.asdict(cfg)
+    meta["compute_dtype"] = jnp.dtype(cfg.compute_dtype).name
+    np.savez(path, __meta__=json.dumps(meta), **arrs)
+
+
+def load_student(path: str):
+    """Load a save_student artifact -> (params, StudentConfig)."""
+    import json
+
+    import numpy as np
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["__meta__"]))
+    meta["compute_dtype"] = jnp.dtype(meta["compute_dtype"]).type
+    cfg = StudentConfig(**meta)
+    template = init_point_field(jax.random.PRNGKey(0), cfg)[0]
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, tmpl in paths:
+        arr = z[jax.tree_util.keystr(kp)]
+        assert arr.shape == tmpl.shape, (jax.tree_util.keystr(kp), arr.shape)
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves
+    ), cfg
+
+
+# ---------------------------------------------------------------------------
 # Expression-conditioned distillation: ONE student per (identity, texture)
 # covering the whole expression bank + interpolations
 # ---------------------------------------------------------------------------

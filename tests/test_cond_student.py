@@ -248,3 +248,22 @@ def test_distill_expressions_learns_code_control():
         # within a factor of 3 (it learned the family, not one average)
         spread_s = np.abs(sigs_s[0] - sigs_s[1]).mean()
         assert spread_s > cross / 3, f"{spread_s=} vs teacher {cross=}"
+
+
+def test_student_artifact_roundtrip(tmp_path):
+    """save_student/load_student: one-file deployable artifact preserves
+    params (incl. the cond block) and the exact StudentConfig."""
+    from mofanerf_tpu.train.distill import load_student, save_student
+
+    for cfg in (CFG, StudentConfig(depth=2, width=16, multires=4,
+                                   compute_dtype=jnp.bfloat16)):
+        params = init_student_params(jax.random.PRNGKey(20), cfg)
+        path = str(tmp_path / f"student_{cfg.cond_dim}.npz")
+        save_student(path, params, cfg)
+        loaded, cfg2 = load_student(path)
+        assert cfg2 == cfg
+        ref = jax.tree_util.tree_leaves(params)
+        got = jax.tree_util.tree_leaves(loaded)
+        assert len(ref) == len(got)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -14,7 +14,8 @@ def test_run_render_distill_cond_rig(tmp_path):
     data_dir = tmp_path / "data"
     make_synthetic_dataset(str(data_dir), n_ids=1, n_train=1, n_test=1, hw=16)
     out = tmp_path / "rig"
-    main([
+    student = tmp_path / "student.npz"
+    argv = [
         "--out_dir", str(out),
         "--n_views", "2",
         "--render_factor", "32",          # 16x16 frames
@@ -22,6 +23,7 @@ def test_run_render_distill_cond_rig(tmp_path):
         "--distill_steps", "4",
         "--n_samples", "8",
         "--rig_expressions", "0,1",
+        "--student_path", str(student),
         # config flags (tiny nets)
         "--expname", "smoke",
         "--basedir", str(tmp_path / "logs"),
@@ -32,7 +34,8 @@ def test_run_render_distill_cond_rig(tmp_path):
         "--netdepth_fine", "2", "--netwidth_fine", "8",
         "--N_samples", "4", "--N_importance", "4",
         "--compute_dtype", "float32",
-    ])
+    ]
+    main(argv)
     frames = sorted(os.listdir(out))
     pngs = [f for f in frames if f.endswith(".png")]
     assert len(pngs) == 2, frames
@@ -41,3 +44,10 @@ def test_run_render_distill_cond_rig(tmp_path):
     img = imageio.imread(out / pngs[0])
     assert img.shape[:2] == (16, 16)
     assert np.isfinite(img.astype(np.float32)).all()
+
+    # the distillation saved a deployable artifact; a second run loads it
+    # (no re-distill) and reproduces the frames
+    assert student.exists()
+    main(argv)
+    img2 = imageio.imread(out / pngs[0])
+    np.testing.assert_array_equal(img2, img)
