@@ -111,6 +111,26 @@ def main() -> None:
         sp, SERVE_CFG, o, d, NEAR, FAR, 16, AABB_MIN, AABB_MAX)["rgb"])
     extras["serve_fused_S16_rays_per_sec"] = round(n64 / _timed(loop_f16, ro, rd), 1)
 
+    # conditioned (whole-expression-bank) student: the code folds to biases
+    # per frame, so serving throughput must equal the unconditioned
+    # student's — measured, not asserted (same kernel, fold outside)
+    from mofanerf_tpu.models.student import fold_student_code
+
+    ccfg = StudentConfig(depth=4, width=128, multires=8, cond_dim=30)
+    cp, _ = init_point_field(jax.random.PRNGKey(4), ccfg)
+    code = jnp.ones(30) * 0.1
+
+    @jax.jit
+    def loop_cond(o, d):
+        def body(i, acc):
+            fp = fold_student_code(cp, code + i * 1e-6)
+            out = render_rays_bounded_fused(
+                fp, ccfg, o + i * 1e-6, d, NEAR, FAR, 32, AABB_MIN, AABB_MAX)
+            return acc + jnp.sum(out["rgb"])
+        return jax.lax.fori_loop(0, K_INNER, body, 0.0)
+
+    extras["serve_cond_S32_rays_per_sec"] = round(n64 / _timed(loop_cond, ro, rd), 1)
+
     n32 = 32768
     ro32, rd32 = _unit_rays(jax.random.PRNGKey(2), n32)
     loop_x32 = _ray_loop(lambda o, d: render_rays_bounded(
@@ -150,6 +170,14 @@ def main() -> None:
             extras["serve_psnr_vs_teacher_db"] = row["psnr_vs_teacher_db"]
             extras["teacher_psnr_vs_gt_db"] = q["teacher_psnr_vs_gt_db"]
             extras["quality_provenance"] = q["scene"]
+    cart = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "cond_student_quality.json")
+    if os.path.exists(cart):
+        with open(cart) as fh:
+            cq = json.load(fh)
+        extras["serve_cond_psnr_vs_teacher_db"] = [
+            cq["per_expression"][e]["cond_psnr_vs_teacher_db"] for e in ("0", "1")
+        ]
 
     # ---------------- teacher paths (flagship dims)
     spec = MoFaNeRF(
@@ -271,6 +299,13 @@ def main() -> None:
     _, acc = loop_gd(rstate, img, real)
     float(acc)
     extras["refine_steps_per_sec_512"] = round(4 / (time.perf_counter() - t0), 2)
+
+    rart = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "refine_quality.json")
+    if os.path.exists(rart):
+        with open(rart) as fh:
+            rq = json.load(fh)
+        extras["refine_heldout_psnr_gain_db"] = rq["psnr_gain_db"]
 
     print(
         json.dumps(
