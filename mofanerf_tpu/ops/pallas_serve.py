@@ -189,19 +189,26 @@ def render_rays_bounded_fused(
 
     viewdirs = rays_d / normd[:, None]
     de = fourier_embed(viewdirs, cfg.multires_views)
-    dirf = de @ params["view"]["w_dirs"]                    # [N, W2]
+    # per-ray view features ship in the compute dtype (the XLA path casts
+    # them to dt at the view layer too — models/student.py)
+    dirf = (de @ params["view"]["w_dirs"]).astype(cfg.compute_dtype)  # [N, W2]
 
     A, phase = _embed_constants(mr)
-    w_in = params["input"]["w"]
+    # ship weight matrices ALREADY in the compute dtype: the kernel casts
+    # per-use anyway (same rounding), and halving the bytes matters if the
+    # pipeline ever re-fetches the constant blocks. Biases stay f32 (added
+    # to f32 accumulators).
+    dt = cfg.compute_dtype
+    w_in = params["input"]["w"].astype(dt)
     w0p, w0s = w_in[:3], w_in[3:]
     b0 = params["input"]["b"].reshape(1, W)
-    wl = jnp.stack([l["w"] for l in params["layers"]])      # [D, W, W]
+    wl = jnp.stack([l["w"] for l in params["layers"]]).astype(dt)  # [D, W, W]
     bl = jnp.stack([l["b"] for l in params["layers"]])      # [D, W]
-    wsig = params["sigma"]["w"]
+    wsig = params["sigma"]["w"].astype(dt)
     bsig = params["sigma"]["b"].reshape(1, 1)
-    wfeat = params["feat"]["w"]
+    wfeat = params["feat"]["w"].astype(dt)
     bfeat = params["feat"]["b"].reshape(1, W2)
-    wrgb = params["rgb"]["w"]
+    wrgb = params["rgb"]["w"].astype(dt)
     brgb = params["rgb"]["b"].reshape(1, 3)
 
     R = block_r

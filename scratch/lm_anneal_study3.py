@@ -90,6 +90,17 @@ def probe(state):
             "bg_acc": round(float(acc[bg].mean()), 3),
             "fg_acc": round(float(acc[~bg].mean()), 3)}
 
+name = f"precrop_anneal_{ACT}_lr{LR}"
+art = "/root/repo/artifacts/lm_anneal.json"
+
+
+def save_trace(trace):
+    # incremental: an interrupted run still records its curve
+    data = json.load(open(art)) if os.path.exists(art) else {}
+    data.setdefault("long_runs", {})[name] = {"iters": ITERS, "trace": trace}
+    json.dump(data, open(art, "w"), indent=1)
+
+
 state = create_train_state(jax.random.PRNGKey(0), spec, lrate=LR)
 t0 = time.time()
 trace = []
@@ -99,12 +110,8 @@ for i in range(ITERS):
     if (i + 1) % PROBE_EVERY == 0 or i + 1 == ITERS:
         pr = probe(state); pr["iter"] = i + 1; pr["loss"] = round(float(m["loss"]), 4)
         trace.append(pr)
+        save_trace(trace)
         print(f"[{ACT} lr={LR}] {i+1}/{ITERS} {pr} "
               f"({(i+1)/(time.time()-t0):.1f} it/s)", flush=True)
 
-name = f"precrop_anneal_{ACT}_lr{LR}"
-art = "/root/repo/artifacts/lm_anneal.json"
-data = json.load(open(art)) if os.path.exists(art) else {}
-data.setdefault("long_runs", {})[name] = {"iters": ITERS, "trace": trace}
-json.dump(data, open(art, "w"), indent=1)
 print("saved", name)
