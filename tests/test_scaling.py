@@ -196,6 +196,15 @@ def test_serve_path_sharded_matches_single(n_data):
                                    rtol=1e-5, atol=1e-6, err_msg=k)
     assert got["rgb"].shape == (2, 16, 16, 3)
 
+    # auto-budgeted compaction (hit_fraction=None) agrees too
+    kw_auto = dict(kw, hit_fraction=None)
+    ref_a = render_path_serve(params, cfg, cond, poses, 16, 16, K, **kw_auto)
+    got_a = render_path_serve(params, cfg, cond, poses, 16, 16, K, mesh=mesh,
+                              **kw_auto)
+    np.testing.assert_allclose(np.asarray(got_a["rgb"]),
+                               np.asarray(ref_a["rgb"]),
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_serve_path_sharded_fused_and_conditioned():
     """The sharded sweep composes with the fused kernel (interpret on CPU)
