@@ -172,7 +172,13 @@ def main(argv=None) -> None:
                 for p_, c in zip(poses, codes)
             ])
         else:
-            code0 = st.cond
+            # a conditioned student (e.g. a loaded artifact) renders the
+            # requested --expression; unconditioned students carry no code
+            if getattr(scfg, "cond_dim", 0) > 0:
+                code0 = student_code(params, shape,
+                                     exp_code_for(params, args.expression))
+            else:
+                code0 = st.cond
             rgbs = np.stack([
                 np.asarray(frame(jnp.asarray(p_)[:3], code0)) for p_ in poses
             ])

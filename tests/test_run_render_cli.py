@@ -51,3 +51,10 @@ def test_run_render_distill_cond_rig(tmp_path):
     main(argv)
     img2 = imageio.imread(out / pngs[0])
     np.testing.assert_array_equal(img2, img)
+
+    # the conditioned artifact also serves a single --expression orbit
+    # through the plain --distill path (code comes from the flag)
+    argv_single = [a for a in argv if a != "--distill_cond"]
+    argv_single[argv_single.index("--out_dir") + 1] = str(tmp_path / "single")
+    main(["--expression", "1"] + argv_single + ["--distill"])
+    assert len(os.listdir(tmp_path / "single")) >= 2
