@@ -37,6 +37,8 @@ def main() -> None:
     p.add_argument("--out", default="/tmp/mofanerf_distill_exp")
     p.add_argument("--iters", type=int, default=2500)
     p.add_argument("--distill_steps", type=int, default=3000)
+    p.add_argument("--student_width", type=int, default=128)
+    p.add_argument("--student_depth", type=int, default=4)
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--artifacts", default=None)
     p.add_argument("--cpu", action="store_true")
@@ -162,6 +164,7 @@ def main() -> None:
 
     # ---- 2. ONE conditioned student across the bank
     dcfg = DistillConfig(cond_dim=spec.exp_dim, n_steps=args.distill_steps,
+                         depth=args.student_depth, width=args.student_width,
                          batch=dbatch, aabb_min=aabb_min, aabb_max=aabb_max)
     t0 = time.time()
     st_c, cfg_c = distill_expressions(params, spec, shape, tex, dcfg,
