@@ -10,8 +10,23 @@ keeps the output dependent on what remains, so Mosaic can't DCE):
   no_comp     no transmittance loop (sum rgb*sigma instead)
   no_view     no view head (sigma-only; isolates pre/rgb matmuls + sigmoid)
   no_trunk    depth=0 trunk (isolates the 4 [128x128] matmuls)
+  sin_doubling / sin_doubling2 / sin_bf16 / cumsum_comp: attempted
+              optimizations (see MEASURED below)
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python scratch/exp_serve_breakdown.py
+MEASURED (v5e, 49.3us/block full; .out files in this dir):
+  sin 16.1us (33%!) | view head 5.0us | trunk matmuls 5.9us |
+  rest (placement/input/sigma/composite/pipeline) ~22us.
+  The kernel is TRANSCENDENTAL-bound, not matmul-bound (~15 cycles/sin).
+  Dead ends, all measured: angle-doubling recurrence (both layouts) and
+  bf16 sin CRASH the Mosaic compiler; cumsum compositing is an
+  unimplemented Mosaic primitive; and fewer embedding bands (mr 8->6/5/4)
+  change NOTHING (5.0-5.2M rays/s throughout) because sin is evaluated on
+  whole 128-lane tiles — width below 128 is free, rows are what cost.
+  Conclusion: ~5.1M rays/s at S32 / ~8.5M at S16 is the honest ceiling of
+  this architecture on this compiler; further gains need fewer ROWS
+  (fewer samples — the S16 latency mode) or a future Mosaic.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scratch/exp_serve_breakdown.py [variants]
 """
 import functools
 import json
@@ -28,7 +43,10 @@ from mofanerf_tpu.ops.bounds import ray_aabb_interval
 from mofanerf_tpu.ops.embed import fourier_embed
 from mofanerf_tpu.ops.pallas_serve import _embed_constants
 
-CFG = StudentConfig(depth=4, width=128, multires=8)
+import os
+
+CFG = StudentConfig(depth=4, width=128,
+                    multires=int(os.environ.get("MR", "8")))
 NEAR, FAR = 8.0, 26.0
 AABB_MIN, AABB_MAX = (-2.3, -3.0, -2.6), (2.3, 3.0, 2.6)
 K_INNER = 16
@@ -57,9 +75,40 @@ def make_kernel(variant):
         d_t = jnp.tile(d_ref[:], (S, 1))
         pts = o_t + d_t * zf
 
-        arg = jnp.dot(pts, A_ref[:], preferred_element_type=jnp.float32)
-        emb = arg + phase_ref[:] if variant == "no_sin" else jnp.sin(
-            arg + phase_ref[:])
+        mr = CFG.multires
+        if variant == "sin_doubling2":
+            # same recurrence, but assemble channels via stack+reshape
+            # ([N, 2mr, 3] -> [N, 6mr] is a row-major no-op) instead of a
+            # 16-way lane concat (which crashes the compiler)
+            s = jnp.sin(pts)
+            c = jnp.cos(pts)
+            pieces = []
+            for k in range(mr):
+                pieces.append(s)
+                pieces.append(c)
+                if k < mr - 1:
+                    s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            emb = jnp.stack(pieces, axis=1).reshape(S * R, 6 * mr)
+        elif variant == "sin_bf16":
+            arg = jnp.dot(pts, A_ref[:], preferred_element_type=jnp.float32)
+            emb = jnp.sin((arg + phase_ref[:]).astype(jnp.bfloat16))
+        elif variant == "sin_doubling":
+            # frequencies are exactly 2^k: sin/cos at the base frequency
+            # (6 transcendentals/point) then angle-doubling recurrences
+            # (pure multiplies) for the remaining bands
+            s = jnp.sin(pts)
+            c = jnp.cos(pts)
+            pieces = []
+            for k in range(mr):
+                pieces.append(s)
+                pieces.append(c)
+                if k < mr - 1:
+                    s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            emb = jnp.concatenate(pieces, axis=1)
+        else:
+            arg = jnp.dot(pts, A_ref[:], preferred_element_type=jnp.float32)
+            emb = arg + phase_ref[:] if variant == "no_sin" else jnp.sin(
+                arg + phase_ref[:])
 
         def mm(a, b):
             return jnp.dot(a.astype(dt), b.astype(dt),
@@ -81,7 +130,20 @@ def make_kernel(variant):
             rgb = jax.nn.sigmoid(mm(pre, wrgb_ref[:]) + brgb_ref[:])
 
         sig_sr = jax.nn.relu(sig.reshape(S, R)) * hit[None, :]
-        if variant == "no_comp":
+        if variant == "cumsum_comp":
+            delta = (t1 - t0) / max(S - 1, 1) * normd
+            alpha = 1.0 - jnp.exp(-sig_sr * delta[None, :])
+            alpha_last = 1.0 - jnp.exp(-sig_sr[S - 1] * (1e10 * normd))
+            alpha = jnp.concatenate([alpha[:S - 1], alpha_last[None]], axis=0)
+            logt = jnp.log(1.0 - alpha + 1e-10)
+            cl = jnp.cumsum(logt, axis=0)
+            T = jnp.exp(jnp.concatenate(
+                [jnp.zeros((1, R), jnp.float32), cl[:S - 1]], axis=0))
+            w = alpha * T                                  # [S, R]
+            acc_rgb = jnp.sum(w[:, :, None] * rgb.reshape(S, R, 3), axis=0)
+            acc_w = jnp.sum(w, axis=0)
+            acc_zw = jnp.sum(w * z, axis=0)
+        elif variant == "no_comp":
             w_all = sig_sr * (t1 - t0)[None, :] * normd[None, :]
             acc_rgb = jnp.zeros((R, 3), jnp.float32)
             for s in range(S):
@@ -176,7 +238,11 @@ def main():
     rd = jnp.asarray(d)
 
     results = {}
-    for variant in ("full", "no_sin", "no_comp", "no_view", "no_trunk"):
+    import sys
+
+    variants = (sys.argv[1].split(",") if len(sys.argv) > 1 else
+                ("full", "no_sin", "no_comp", "no_view", "no_trunk"))
+    for variant in variants:
         try:
             rps, us_blk = run_variant(variant, params, ro, rd)
             results[variant] = {"rays_per_sec": round(rps, 1),
