@@ -86,7 +86,9 @@ def main(argv=None) -> None:
 
             key = (pid, int(ds.exp_types[ti]))
             if key not in grid_cache:
-                grid_cache[key] = build_occupancy_grid(params["fine"], spec.fine, cond.fine)
+                grid_cache[key] = build_occupancy_grid(
+                    params["fine"], spec.fine, cond.fine,
+                    sigma_activation=spec.render.sigma_activation)
             out = render_frame_fast(
                 params, spec, cond.fine, grid_cache[key], H, W, K,
                 jnp.asarray(ds.poses[ti][:3]),

@@ -70,6 +70,7 @@ def main(argv=None) -> None:
             grid = build_occupancy_grid(
                 params["fine"], spec.fine, cond.fine,
                 resolution=args.resolution, density_threshold=args.threshold,
+                sigma_activation=spec.render.sigma_activation,
             )
             grids[f"occ_{pid}_{exp}"] = np.packbits(np.asarray(grid.occ))
             aabb = (np.asarray(grid.aabb_min), np.asarray(grid.aabb_max))

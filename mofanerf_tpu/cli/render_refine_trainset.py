@@ -92,7 +92,9 @@ def main(argv=None) -> None:
         from mofanerf_tpu.ops.occupancy import build_occupancy_grid, render_frame_fast
 
         def make_render(cond):
-            grid = build_occupancy_grid(params["fine"], spec.fine, cond.fine)
+            grid = build_occupancy_grid(
+                params["fine"], spec.fine, cond.fine,
+                sigma_activation=spec.render.sigma_activation)
             return lambda c2w: render_frame_fast(
                 params, spec, cond.fine, grid, H, W, K, c2w
             )["rgb"]

@@ -114,7 +114,8 @@ def main(argv=None) -> None:
 
         dcfg_kw = dict(n_steps=args.distill_steps,
                        near=spec.render.near, far=spec.render.far,
-                       aabb_min=aabb_min, aabb_max=aabb_max)
+                       aabb_min=aabb_min, aabb_max=aabb_max,
+                       teacher_sigma_activation=spec.render.sigma_activation)
         if args.student_path and os.path.exists(args.student_path):
             sparams, scfg = load_student(args.student_path)
             st = StudentState(sparams, None, None, jnp.asarray(0))
@@ -197,7 +198,9 @@ def main(argv=None) -> None:
             grid, _ = load_grid(grid_path)
             print(f"using training-maintained occupancy grid: {grid_path}")
         else:
-            grid = build_occupancy_grid(params["fine"], spec.fine, cond.fine)
+            grid = build_occupancy_grid(
+                params["fine"], spec.fine, cond.fine,
+                sigma_activation=spec.render.sigma_activation)
         rf = max(1, args.render_factor)
         H = W = 512 // rf
         Kr = jnp.asarray(

@@ -26,6 +26,16 @@ class CompositeOut(NamedTuple):
     depth: jnp.ndarray    # [N_rays]
 
 
+def sigma_act(name: str):
+    """Density activation by name — the ONE place the string is interpreted,
+    so a typo raises instead of silently flipping activations."""
+    if name == "relu":
+        return jax.nn.relu
+    if name == "softplus":
+        return jax.nn.softplus
+    raise ValueError(f"sigma_activation must be 'relu' or 'softplus', got {name!r}")
+
+
 def composite(
     raw_rgb: jnp.ndarray,
     raw_sigma: jnp.ndarray,
@@ -45,7 +55,7 @@ def composite(
     negative at large widths (measured: raw sigma -2700 within 50 steps at
     10x1024), while softplus keeps a recovery gradient everywhere. A field
     trained with one activation must be composited with the same one
-    downstream (occupancy thresholds compare RAW sigma either way)."""
+    downstream."""
     raw_rgb = raw_rgb.astype(jnp.float32)
     raw_sigma = raw_sigma.astype(jnp.float32)
 
@@ -61,8 +71,7 @@ def composite(
         assert key is not None, "sigma noise requires a PRNG key"
         raw_sigma = raw_sigma + jax.random.normal(key, raw_sigma.shape) * raw_noise_std
 
-    act = jax.nn.relu if sigma_activation == "relu" else jax.nn.softplus
-    alpha = 1.0 - jnp.exp(-act(raw_sigma) * dists)  # [N_rays, S]
+    alpha = 1.0 - jnp.exp(-sigma_act(sigma_activation)(raw_sigma) * dists)
     # Exclusive cumprod of transmittance: T_i = prod_{j<i} (1 - alpha_j + eps)
     trans = jnp.cumprod(
         jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1),

@@ -31,7 +31,7 @@ from mofanerf_tpu.models.field import FieldConfig, apply_field_folded, apply_fie
 from mofanerf_tpu.ops.embed import fourier_embed
 from mofanerf_tpu.ops.composite import composite
 from mofanerf_tpu.ops.sampling import stratified_z_vals
-from mofanerf_tpu.ops.sweep import HIT_BUDGET_BUCKETS, bucket_fraction, sweep_frame
+from mofanerf_tpu.ops.sweep import sweep_frame
 
 Params = Dict[str, Any]
 
@@ -51,15 +51,20 @@ def build_occupancy_grid(
     aabb_max=(5.0, 5.0, 5.0),
     density_threshold: float = 1.0,
     chunk: int = 65536,
+    sigma_activation: str = "relu",
 ) -> OccupancyGrid:
     """Probe the fine field's sigma at cell centers. The default AABB covers
     the FaceScape head at world scale 1/50 (meshes clipped to a ~5-unit
-    radius, tools/train_data_pre/predef maxDistance)."""
+    radius, tools/train_data_pre/predef maxDistance). The threshold
+    compares ACTIVATED density, so it means the same thing for relu- and
+    softplus-trained fields."""
+    from mofanerf_tpu.ops.composite import sigma_act
+
     G = resolution
     lo = jnp.asarray(aabb_min, jnp.float32)
     hi = jnp.asarray(aabb_max, jnp.float32)
     shell = OccupancyGrid(jnp.zeros((G, G, G), bool), lo, hi)
-    sig = probe_density(params, cfg, cond, shell, chunk)
+    sig = sigma_act(sigma_activation)(probe_density(params, cfg, cond, shell, chunk))
     occ = (sig > density_threshold).reshape(G, G, G)
     return OccupancyGrid(occ, lo, hi)
 
@@ -103,12 +108,15 @@ def update_occupancy_grid(
     cond: Params,
     decay: float = 0.95,
     density_threshold: float = 1.0,
+    sigma_activation: str = "relu",
 ):
     """Training-time grid maintenance (NerfAcc-style EMA): re-probe all
     cells, take max(ema * decay, fresh), rethreshold. Call every few
     hundred steps; one update costs ~a single render packet of compute.
-    Returns (new_grid, new_density_ema)."""
-    fresh = probe_density(params, cfg, cond, grid)
+    The EMA carries ACTIVATED density. Returns (new_grid, new_density_ema)."""
+    from mofanerf_tpu.ops.composite import sigma_act
+
+    fresh = sigma_act(sigma_activation)(probe_density(params, cfg, cond, grid))
     ema = jnp.maximum(density_ema * decay, fresh)
     G = grid.occ.shape[0]
     return (
@@ -141,6 +149,7 @@ def render_rays_occupancy(
     s_probe: int = 64,
     k_keep: int = 32,
     white_bkgd: bool = False,
+    sigma_activation: str = "relu",
 ):
     """Deterministic occupancy-culled render of a ray packet.
 
@@ -174,7 +183,8 @@ def render_rays_occupancy(
     # culled slots contribute nothing even if the field disagrees with the grid
     raw_sigma = jnp.where(keep_mask, raw_sigma, -1e10)
 
-    c = composite(raw_rgb, raw_sigma, zk, rays_d, 0.0, white_bkgd, None)
+    c = composite(raw_rgb, raw_sigma, zk, rays_d, 0.0, white_bkgd, None,
+                  sigma_activation=sigma_activation)
     return {"rgb": c.rgb, "disp": c.disp, "acc": c.acc, "depth": c.depth}
 
 
@@ -250,24 +260,6 @@ def ray_aabb_hit(
     return (tmax >= tmin) & (tmax >= near) & (tmin <= far)
 
 
-def auto_hit_fraction(
-    grid: OccupancyGrid,
-    rays_o: jnp.ndarray,
-    rays_d: jnp.ndarray,
-    near: float,
-    far: float,
-    buckets=HIT_BUDGET_BUCKETS,
-) -> float:
-    """Pick the smallest compaction budget that covers this frame's TRUE
-    AABB hit count. The slab test is pure arithmetic (no MLP), so the count
-    is computable on the host per frame for the cost of one tiny readback;
-    bucketing it to a few canonical fractions keeps the number of compiled
-    frame programs bounded (static shapes) while guaranteeing no foreground
-    ray is ever dropped to background."""
-    hit = ray_aabb_hit(grid, rays_o, rays_d, near, far)
-    return bucket_fraction(float(jnp.mean(hit)), buckets)
-
-
 def render_frame_fast(
     params: Params,
     spec,                      # render.renderer.MoFaNeRF
@@ -303,7 +295,7 @@ def render_frame_fast(
         return render_rays_occupancy(
             params["fine"], spec.fine, cond_fine, grid, o, d,
             spec.render.near, spec.render.far, s_probe, k_keep,
-            spec.render.white_bkgd,
+            spec.render.white_bkgd, spec.render.sigma_activation,
         )
 
     return sweep_frame(

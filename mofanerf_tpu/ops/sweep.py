@@ -41,12 +41,20 @@ def _compact_rays(ro_flat, rd_flat, p, aabb_min, aabb_max, near, far,
     whole-packets budget. Returns (ro, rd, sel, n_eval); sel is None when no
     compaction applied."""
     n = ro_flat.shape[0]
-    if hit_fraction is None:
+    hit = None
+    if hit_fraction is None or hit_fraction < 1.0:
         _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
+    if hit_fraction is None:
+        if isinstance(ro_flat, jax.core.Tracer):
+            raise ValueError(
+                "auto-budgeted compaction (hit_fraction=None) measures the "
+                "frame's hit count on the host and cannot run under jit — "
+                "pass an explicit hit_fraction (e.g. 1.0 or 0.5) when "
+                "jitting the frame renderer, or call it un-jitted"
+            )
         hit_fraction = bucket_fraction(float(jnp.mean(hit)))
 
     if hit_fraction < 1.0:
-        _, _, hit = ray_aabb_interval(ro_flat, rd_flat, aabb_min, aabb_max, near, far)
         order = jnp.argsort(~hit)  # hits first, stable
         # round the budget up to whole packets, clamped to the ray count
         m = min(int(-(-int(n * hit_fraction) // p) * p), n)
@@ -87,14 +95,20 @@ def sweep_rays(
     far: float = jnp.inf,
     hit_fraction: float | None = 1.0,
     white_bkgd: bool = False,
+    packet_multiple: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Sweep `ray_fn` over an arbitrary flat ray stream in fixed-size
     packets with optional slab compaction. Returns flat [N, ...] maps —
     the frame/path renderers reshape. Batching several frames into one
     stream amortizes packet glue and lets compaction pool background
-    across frames."""
+    across frames.
+
+    packet_multiple: round the packet size UP to this granularity (the
+    fused Pallas kernel requires whole 256-ray blocks; padding covers the
+    remainder)."""
     n = ro_flat.shape[0]
     p = min(packet_size, n)
+    p = -(-p // packet_multiple) * packet_multiple
     ro_flat, rd_flat, sel, n_eval = _compact_rays(
         ro_flat, rd_flat, p, aabb_min, aabb_max, near, far, hit_fraction
     )
@@ -121,18 +135,24 @@ def sweep_rays_sharded(
     far: float = jnp.inf,
     hit_fraction: float | None = 1.0,
     white_bkgd: bool = False,
+    packet_multiple: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Multi-chip sweep_rays: compaction runs GLOBALLY (background pools
     across the whole stream), then the compacted rays shard over the
     mesh's `data` axis via shard_map and every device runs its own
     sequential packet loop — rays are independent, so no collectives.
-    The multi-chip serving path for orbit/path rendering."""
+    The multi-chip serving path for orbit/path rendering.
+
+    Note: each call traces a fresh shard_map program; steady-state serving
+    should go through render/serve.py's render_path_serve(mesh=...), which
+    caches the compiled program per (config, mesh, shape)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
 
     n = ro_flat.shape[0]
     n_data = mesh.shape["data"]
     p = min(packet_size, max(1, n // n_data))
+    p = -(-p // packet_multiple) * packet_multiple
     ro_flat, rd_flat, sel, n_eval = _compact_rays(
         ro_flat, rd_flat, p, aabb_min, aabb_max, near, far, hit_fraction
     )

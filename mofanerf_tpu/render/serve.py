@@ -52,10 +52,12 @@ def render_rays_bounded(
     white_bkgd: bool = False,
     key: jax.Array | None = None,
     perturb: float = 0.0,
+    sigma_activation: str = "relu",
 ) -> Dict[str, jnp.ndarray]:
     """Deterministic bounded-interval render of a ray packet through one
     field. Works for any FieldConfig (the distilled student in production;
-    also valid for the full fine field as a grid-free culling mode).
+    also valid for the full fine field as a grid-free culling mode — pass
+    the field's sigma_activation so density matches training).
 
     Returns {rgb, disp, acc, depth} like render_rays' fine outputs."""
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -77,8 +79,46 @@ def render_rays_bounded(
     # force them transparent
     raw_sigma = jnp.where(hit[:, None], raw_sigma, -1e10)
 
-    c = composite(raw_rgb, raw_sigma, z, rays_d, 0.0, white_bkgd, None)
+    c = composite(raw_rgb, raw_sigma, z, rays_d, 0.0, white_bkgd, None,
+                  sigma_activation=sigma_activation)
     return {"rgb": c.rgb, "disp": c.disp, "acc": c.acc, "depth": c.depth}
+
+
+def _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max, white_bkgd,
+               fused, sigma_activation):
+    """(params, cond, o, d) -> maps. One shared builder so frame/path/
+    sharded renderers run the identical per-packet program."""
+    if fused:
+        from mofanerf_tpu.ops.pallas_serve import render_rays_bounded_fused
+
+        if sigma_activation != "relu":
+            raise ValueError(
+                "the fused serving kernel is relu-only; pass fused=False "
+                f"for sigma_activation={sigma_activation!r}"
+            )
+
+        def packet(params, cond, o, d):
+            assert cond is None  # folded by the caller
+            return render_rays_bounded_fused(
+                params, cfg, o, d, near, far, n_samples,
+                aabb_min, aabb_max, white_bkgd,
+            )
+    else:
+        def packet(params, cond, o, d):
+            return render_rays_bounded(
+                params, cfg, cond, o, d, near, far, n_samples,
+                aabb_min, aabb_max, white_bkgd,
+                sigma_activation=sigma_activation,
+            )
+    return packet
+
+
+def _fused_block_multiple(fused: bool) -> int:
+    if not fused:
+        return 1
+    from mofanerf_tpu.ops.pallas_serve import _BLOCK_R
+
+    return _BLOCK_R
 
 
 def render_frame_serve(
@@ -98,38 +138,30 @@ def render_frame_serve(
     packet_size: int = 8192,
     hit_fraction: float | None = None,
     fused: bool = False,
+    sigma_activation: str = "relu",
 ) -> Dict[str, jnp.ndarray]:
     """Full-frame serving render: bounded-interval ray packets + frame-level
-    slab compaction (auto-budgeted by default — see ops/sweep.py).
+    slab compaction (auto-budgeted by default — see ops/sweep.py; pass an
+    explicit hit_fraction when jitting this function).
 
     fused=True routes packets through the Pallas fused kernel
-    (ops/pallas_serve.py; StudentConfig with skip=-1, packet_size a
-    multiple of 256) — measured ~1.2-1.4x the XLA path on v5e.
+    (ops/pallas_serve.py; StudentConfig with skip=-1; packet sizes round up
+    to whole 256-ray blocks automatically) — measured ~1.2-1.4x the XLA
+    path on v5e. The fused kernel is relu-only.
 
     For a code-conditioned student (cfg.cond_dim > 0), pass the conditioning
     code as `cond`; it folds to biases here so the per-packet hot path (both
     fused and XLA) is identical to an unconditioned student's."""
     if isinstance(cfg, StudentConfig) and cond is not None:
         params, cond = fold_student_code(params, cond), None
-    if fused:
-        from mofanerf_tpu.ops.pallas_serve import render_rays_bounded_fused
-
-        def packet(o, d):
-            return render_rays_bounded_fused(
-                params, cfg, o, d, near, far, n_samples,
-                aabb_min, aabb_max, white_bkgd,
-            )
-    else:
-        def packet(o, d):
-            return render_rays_bounded(
-                params, cfg, cond, o, d, near, far, n_samples,
-                aabb_min, aabb_max, white_bkgd,
-            )
+    pf = _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max,
+                    white_bkgd, fused, sigma_activation)
 
     return sweep_frame(
-        packet, H, W, K, c2w, packet_size,
+        lambda o, d: pf(params, cond, o, d), H, W, K, c2w, packet_size,
         aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
         hit_fraction=hit_fraction, white_bkgd=white_bkgd,
+        packet_multiple=_fused_block_multiple(fused),
     )
 
 
@@ -150,6 +182,7 @@ def render_path_serve(
     packet_size: int = 16384,
     hit_fraction: float | None = None,
     fused: bool = False,
+    sigma_activation: str = "relu",
     mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched multi-frame serving render: ALL frames' rays form one packet
@@ -159,11 +192,16 @@ def render_path_serve(
 
     mesh: a jax.sharding.Mesh with a `data` axis shards the compacted ray
     stream across devices (shard_map, no collectives — rays are
-    independent): the multi-chip serving path."""
+    independent): the multi-chip serving path. The compiled sharded program
+    is CACHED per (config, mesh, packet) with params passed as arguments,
+    so serving many frames/avatars never retraces (remote compiles cost
+    minutes on this platform)."""
     from mofanerf_tpu.ops.rays import get_rays
 
     if isinstance(cfg, StudentConfig) and cond is not None:
         params, cond = fold_student_code(params, cond), None
+    aabb_min = tuple(float(x) for x in jnp.asarray(aabb_min).tolist())
+    aabb_max = tuple(float(x) for x in jnp.asarray(aabb_max).tolist())
 
     poses = jnp.asarray(poses)
     F = poses.shape[0]
@@ -176,33 +214,75 @@ def render_path_serve(
     ro = jnp.concatenate(ro)
     rd = jnp.concatenate(rd)
 
-    if fused:
-        from mofanerf_tpu.ops.pallas_serve import render_rays_bounded_fused
-
-        def packet(o, d):
-            return render_rays_bounded_fused(
-                params, cfg, o, d, near, far, n_samples,
-                aabb_min, aabb_max, white_bkgd,
-            )
-    else:
-        def packet(o, d):
-            return render_rays_bounded(
-                params, cfg, cond, o, d, near, far, n_samples,
-                aabb_min, aabb_max, white_bkgd,
-            )
-
+    static = (cfg, float(near), float(far), int(n_samples), aabb_min,
+              aabb_max, bool(white_bkgd), bool(fused), sigma_activation)
     if mesh is not None:
-        from mofanerf_tpu.ops.sweep import sweep_rays_sharded
-
-        out = sweep_rays_sharded(
-            packet, ro, rd, packet_size, mesh,
-            aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
-            hit_fraction=hit_fraction, white_bkgd=white_bkgd,
-        )
+        out = _sharded_sweep(static, mesh, packet_size)(
+            params, cond, ro, rd, hit_fraction)
     else:
+        pf = _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max,
+                        white_bkgd, fused, sigma_activation)
         out = sweep_rays(
-            packet, ro, rd, packet_size,
+            lambda o, d: pf(params, cond, o, d), ro, rd, packet_size,
             aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
             hit_fraction=hit_fraction, white_bkgd=white_bkgd,
+            packet_multiple=_fused_block_multiple(fused),
         )
     return {k: v.reshape((F, H, W) + v.shape[1:]) for k, v in out.items()}
+
+
+_SHARDED_SWEEP_CACHE: dict = {}
+
+
+def _sharded_sweep(static, mesh, packet_size):
+    """Cached multi-chip sweep: the shard_map program is keyed by the
+    STATIC render config + mesh + packet shape and takes (params, cond)
+    as traced arguments — new avatars/frames reuse the compiled program
+    (jit's own shape cache handles varying ray counts)."""
+    (cfg, near, far, n_samples, aabb_min, aabb_max, white_bkgd, fused,
+     sigma_activation) = static
+    n_data = mesh.shape["data"]
+
+    def run(params, cond, ro, rd, hit_fraction):
+        from mofanerf_tpu.ops.sweep import _compact_rays, _scatter_background
+
+        n = ro.shape[0]
+        p = min(packet_size, max(1, n // n_data))
+        p = -(-p // _fused_block_multiple(fused)) * _fused_block_multiple(fused)
+        ro_c, rd_c, sel, n_eval = _compact_rays(
+            ro, rd, p, aabb_min, aabb_max, near, far, hit_fraction)
+        stride = p * n_data
+        n_pad = (-n_eval) % stride
+        ro_p = jnp.concatenate([ro_c, jnp.ones((n_pad, 3))], axis=0)
+        rd_p = jnp.concatenate([rd_c, jnp.ones((n_pad, 3))], axis=0)
+
+        key = static + (mesh, p)
+        f = _SHARDED_SWEEP_CACHE.get(key)
+        if f is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            pf = _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max,
+                            white_bkgd, fused, sigma_activation)
+
+            def local_sweep(params, cond, o, d):
+                op = o.reshape(-1, p, 3)
+                dp = d.reshape(-1, p, 3)
+                return jax.lax.map(
+                    lambda args: pf(params, cond, args[0], args[1]), (op, dp))
+
+            f = jax.jit(shard_map(
+                local_sweep, mesh=mesh,
+                in_specs=(P(), P(), P("data"), P("data")),
+                out_specs=P("data"), check_vma=False,
+            ))
+            _SHARDED_SWEEP_CACHE[key] = f
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rs = NamedSharding(mesh, P("data"))
+        maps = f(params, cond, jax.device_put(ro_p, rs),
+                 jax.device_put(rd_p, rs))
+        return _scatter_background(maps, sel, n, n_eval, white_bkgd)
+
+    return run

@@ -63,6 +63,9 @@ class DistillConfig:
     far: float = 26.0
     aabb_min: Tuple[float, float, float] = DEFAULT_AABB_MIN
     aabb_max: Tuple[float, float, float] = DEFAULT_AABB_MAX
+    teacher_sigma_activation: str = "relu"  # match the teacher's TRAINING
+                                  # activation (RenderConfig.sigma_activation)
+                                  # — the student itself always serves relu
     compute_dtype: Any = jnp.bfloat16
 
     def student_config(self, teacher: FieldConfig):
@@ -151,10 +154,12 @@ def _field_raw(params, cfg, cond, pts, dirs):
     return raw_rgb.astype(jnp.float32), raw_sigma[:, 0].astype(jnp.float32)
 
 
-def _field_outputs(params, cfg, cond, pts, dirs):
+def _field_outputs(params, cfg, cond, pts, dirs, sigma_activation="relu"):
     """Activated (rgb [N,3], sigma [N]) of one field at points/dirs."""
+    from mofanerf_tpu.ops.composite import sigma_act
+
     raw_rgb, raw_sigma = _field_raw(params, cfg, cond, pts, dirs)
-    return jax.nn.sigmoid(raw_rgb), jax.nn.relu(raw_sigma)
+    return jax.nn.sigmoid(raw_rgb), sigma_act(sigma_activation)(raw_sigma)
 
 
 def distill_loss(
@@ -166,8 +171,12 @@ def distill_loss(
     teacher_cond: Params,
     pts: jnp.ndarray,
     dirs: jnp.ndarray,
+    teacher_sigma_activation: str = "relu",
 ):
-    rgb_t, sig_t = _field_outputs(teacher_params, teacher_cfg, teacher_cond, pts, dirs)
+    # the student always uses relu at serve time; the TEACHER's density must
+    # be read with the activation it was trained with
+    rgb_t, sig_t = _field_outputs(teacher_params, teacher_cfg, teacher_cond,
+                                  pts, dirs, teacher_sigma_activation)
     rgb_t = jax.lax.stop_gradient(rgb_t)
     sig_t = jax.lax.stop_gradient(sig_t)
     raw_rgb_s, raw_sig_s = _field_raw(
@@ -211,6 +220,7 @@ def distill_step(
         return distill_loss(
             p, student_cfg, refold_cond(p, student_cfg),
             teacher_params, teacher_cfg, teacher_cond, pts, dirs,
+            dcfg.teacher_sigma_activation,
         )
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -232,6 +242,10 @@ def distill(
 ) -> Tuple[StudentState, FieldConfig]:
     """Run the full distillation loop on-device (lax.fori_loop inside one
     jit per log window). Returns (student_state, student_cfg)."""
+    assert dcfg.cond_dim == 0, (
+        "plain distill() would leave the conditioning weights untrained "
+        "(no code is sampled) — use distill_expressions for cond_dim > 0"
+    )
     student_cfg = dcfg.student_config(teacher_cfg)
     state, tx = init_student(jax.random.PRNGKey(seed), student_cfg, dcfg.lr)
 
@@ -361,6 +375,7 @@ def distill_exp_step(
         return distill_loss(
             p, student_cfg, exp_mod,
             teacher_params, teacher_cfg, teacher_cond, pts, dirs,
+            dcfg.teacher_sigma_activation,
         )
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -132,6 +132,7 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
             return update_occupancy_grid(
                 grid, ema, params["fine"], spec.fine, c.fine,
                 cfg.grid_ema_decay, cfg.grid_density_threshold,
+                spec.render.sigma_activation,
             )
 
     uv_cache = {}

@@ -260,23 +260,6 @@ def test_pose_spherical_facescape_frame():
     np.testing.assert_allclose(c2[1, 3], 0.0, atol=1e-6)
 
 
-def test_auto_hit_fraction_buckets():
-    from mofanerf_tpu.ops.occupancy import auto_hit_fraction
-
-    grid = OccupancyGrid(jnp.ones((4, 4, 4), bool),
-                         jnp.asarray([-2.0] * 3), jnp.asarray([2.0] * 3))
-    # all rays converge on the box -> full budget
-    ro = jnp.tile(jnp.asarray([[0.0, 0, 16]]), (64, 1))
-    rd = jnp.tile(jnp.asarray([[0.0, 0, -1]]), (64, 1))
-    assert auto_hit_fraction(grid, ro, rd, 8.0, 26.0) == 1.0
-    # half hit, half miss -> 0.5 bucket
-    rd2 = jnp.concatenate([rd[:32], jnp.tile(jnp.asarray([[0.0, 0, 1.0]]), (32, 1))])
-    assert auto_hit_fraction(grid, ro, rd2, 8.0, 26.0) == 0.5
-    # a couple of hits -> smallest bucket
-    rd3 = jnp.concatenate([rd[:4], jnp.tile(jnp.asarray([[0.0, 0, 1.0]]), (60, 1))])
-    assert auto_hit_fraction(grid, ro, rd3, 8.0, 26.0) == 0.25
-
-
 def test_frame_fast_auto_budget_never_drops_foreground():
     """Close-up framing (every ray hits the AABB) used to silently lose
     rays under a static 0.5 budget; auto-budgeting must match the

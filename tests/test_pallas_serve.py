@@ -117,3 +117,26 @@ def test_fused_block_variants_agree():
         np.testing.assert_allclose(np.asarray(got["acc"]),
                                    np.asarray(base["acc"]),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_frame_serve_fused_handles_non_block_ray_counts():
+    """A frame whose ray count is not a multiple of 256 must round its
+    packet up to whole fused blocks (padding covers the rest) instead of
+    tripping the kernel's block assert."""
+    from mofanerf_tpu.render.serve import render_frame_serve
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    cfg = StudentConfig(depth=2, width=128, multires=4,
+                        compute_dtype=jnp.float32)
+    params, cond = init_point_field(jax.random.PRNGKey(6), cfg)
+    params["sigma"]["b"] = params["sigma"]["b"] + 1.0
+    K = jnp.asarray([[30.0, 0, 9.0], [0, 30.0, 9.0], [0, 0, 1.0]])
+    c2w = jnp.asarray(pose_spherical(5.0, -5.0, 16.0))[:3]
+    kw = dict(near=NEAR, far=FAR, n_samples=4, aabb_min=AABB[0],
+              aabb_max=AABB[1], packet_size=8192, hit_fraction=1.0)
+    # 18x18 = 324 rays: not a multiple of 256, below packet_size
+    a = render_frame_serve(params, cfg, cond, 18, 18, K, c2w, fused=False, **kw)
+    b = render_frame_serve(params, cfg, cond, 18, 18, K, c2w, fused=True, **kw)
+    assert b["rgb"].shape == (18, 18, 3)
+    np.testing.assert_allclose(np.asarray(b["rgb"]), np.asarray(a["rgb"]),
+                               rtol=1e-4, atol=1e-4)
