@@ -44,6 +44,9 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--quick", action="store_true",
                    help="tiny budgets (CI/CPU smoke)")
+    p.add_argument("--flagship", action="store_true",
+                   help="teacher at reference dims (8x256 + 10x1024 bf16, "
+                        "reference lr) — the rigging-at-scale study")
     args = p.parse_args()
 
     import jax
@@ -95,18 +98,25 @@ def main() -> None:
 
     if args.quick:
         coarse, fine = FieldConfig(depth=4, width=32), FieldConfig(depth=4, width=64)
-        n_samp, n_rand, dbatch = 16, 512, 2048
+        n_samp, n_rand, dbatch, lrate = 16, 512, 2048, 1e-3
+    elif args.flagship:
+        # reference dims NEED the reference lr (flagship bistability —
+        # artifacts/lm_anneal.json); fg-biased sampling converges this
+        # scene by ~2000 iters (distill_synthetic --flagship measured it)
+        coarse = FieldConfig(depth=8, width=256, compute_dtype=jnp.bfloat16)
+        fine = FieldConfig(depth=10, width=1024, compute_dtype=jnp.bfloat16)
+        n_samp, n_rand, dbatch, lrate = 32, 1024, 8192, 5e-5
     else:
         coarse, fine = FieldConfig(depth=8, width=64), FieldConfig(depth=8, width=128)
-        n_samp, n_rand, dbatch = 32, 1024, 8192
+        n_samp, n_rand, dbatch, lrate = 32, 1024, 8192, 1e-3
     spec = MoFaNeRF(
         coarse=coarse, fine=fine,
         render=RenderConfig(n_coarse=n_samp, n_importance=n_samp,
                             packet_size=4096, raw_noise_std=1.0),
         uv_size=128,
     )
-    state = create_train_state(jax.random.PRNGKey(0), spec, lrate=1e-3)
-    tx = make_optimizer(lrate=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), spec, lrate=lrate)
+    tx = make_optimizer(lrate=lrate)
     step = jax.jit(lambda s, b, k: train_step(s, b, k, spec, tx))
     rng = np.random.default_rng(0)
     uv = jnp.full((128, 128, 3), 0.5)
