@@ -9,7 +9,10 @@ from mofanerf_tpu.train.state import (
 from mofanerf_tpu.train.distill import (
     DistillConfig,
     StudentState,
+    avatar_code,
     distill,
+    distill_avatars,
+    distill_conditioned,
     distill_expressions,
     load_student,
     save_student,
@@ -19,5 +22,6 @@ from mofanerf_tpu.train.distill import (
 __all__ = [
     "TrainState", "create_train_state", "make_optimizer", "train_step",
     "lr_at", "DistillConfig", "StudentState", "distill",
-    "distill_expressions", "student_code", "save_student", "load_student",
+    "distill_conditioned", "distill_expressions", "distill_avatars",
+    "student_code", "avatar_code", "save_student", "load_student",
 ]

@@ -345,44 +345,59 @@ def _sample_exp_code(key, exp_bank: jnp.ndarray):
     return (1.0 - a) * exp_bank[i] + a * exp_bank[j]
 
 
-def distill_exp_step(
-    state: StudentState,
-    tx: optax.GradientTransformation,
-    teacher_params: Params,     # the fine field subtree
+def distill_conditioned(
+    teacher_params: Params,      # the fine field subtree
     teacher_cfg: FieldConfig,
-    ism_params: Params,
-    exp_bank: jnp.ndarray,      # [E, exp_dim] raw bank latents to cover
-    shape_code: jnp.ndarray,
-    tex_code: jnp.ndarray,
-    dcfg: DistillConfig,
-    student_cfg,
-    key: jax.Array,
-):
-    """One conditioned distillation step: sample an expression code, fold
-    the teacher's conditioning for it IN-GRAPH (tiny matmuls), and match
-    the student — whose own code input folds to biases
-    (models/student.py::fold_student_code) — at the same points."""
-    from mofanerf_tpu.models.field import fold_conditioning
-    from mofanerf_tpu.models.ism import modulate_expression
+    sample_code,                 # jittable: key -> (code [cond_dim], teacher_cond)
+    dcfg: DistillConfig,         # cond_dim > 0
+    seed: int = 0,
+    log_every: int = 0,
+    tag: str = "DISTILL-COND",
+) -> Tuple[StudentState, Any]:
+    """Generic conditioned distillation: per step, `sample_code` draws a
+    point of the teacher FAMILY — a student conditioning code plus the
+    teacher's folded conditioning for it (tiny matmuls, in-graph) — and the
+    student (whose code folds to biases, models/student.py::
+    fold_student_code) matches the teacher at shared sample points.
+    distill_expressions / distill_avatars are instances."""
+    assert dcfg.cond_dim > 0, "conditioned distillation needs cond_dim > 0"
+    student_cfg = dcfg.student_config(teacher_cfg)
+    state, tx = init_student(jax.random.PRNGKey(seed), student_cfg, dcfg.lr)
 
-    kc, kp = jax.random.split(key)
-    raw = _sample_exp_code(kc, exp_bank)
-    exp_mod = modulate_expression(ism_params, shape_code, raw)
-    teacher_cond = fold_conditioning(teacher_params, shape_code, exp_mod, tex_code)
-    pts, dirs = _sample_points(kp, dcfg, dcfg.batch)
+    def step(st, key):
+        kc, kp = jax.random.split(key)
+        code, teacher_cond = sample_code(kc)
+        pts, dirs = _sample_points(kp, dcfg, dcfg.batch)
 
-    def loss_fn(p):
-        return distill_loss(
-            p, student_cfg, exp_mod,
-            teacher_params, teacher_cfg, teacher_cond, pts, dirs,
-            dcfg.teacher_sigma_activation,
-        )
+        def loss_fn(p):
+            return distill_loss(
+                p, student_cfg, code,
+                teacher_params, teacher_cfg, teacher_cond, pts, dirs,
+                dcfg.teacher_sigma_activation,
+            )
 
-    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    metrics["loss"] = loss
-    return StudentState(new_params, None, new_opt, state.step + 1), metrics
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+        updates, new_opt = tx.update(grads, st.opt_state, st.params)
+        new_params = optax.apply_updates(st.params, updates)
+        return StudentState(new_params, None, new_opt, st.step + 1), loss
+
+    @jax.jit
+    def run(state, k0, n):
+        def body(i, carry):
+            st, _ = carry
+            return step(st, jax.random.fold_in(k0, i))
+        return jax.lax.fori_loop(0, n, body, (state, jnp.asarray(0.0)))
+
+    key = jax.random.PRNGKey(seed + 1)
+    window = log_every if log_every > 0 else dcfg.n_steps
+    done = 0
+    while done < dcfg.n_steps:
+        n = min(window, dcfg.n_steps - done)
+        state, loss = run(state, jax.random.fold_in(key, done), n)
+        done += n
+        if log_every:
+            print(f"[{tag}] step {done}/{dcfg.n_steps} loss {float(loss):.5f}")
+    return state, student_cfg
 
 
 def distill_expressions(
@@ -407,6 +422,9 @@ def distill_expressions(
     The fold keeps serving throughput identical to an unconditioned
     student's (same matmuls, same fused kernel).
     """
+    from mofanerf_tpu.models.field import fold_conditioning
+    from mofanerf_tpu.models.ism import modulate_expression
+
     if dcfg is None:
         dcfg = DistillConfig(cond_dim=int(spec.exp_dim))
     assert dcfg.cond_dim == spec.exp_dim, (
@@ -417,31 +435,68 @@ def distill_expressions(
 
         exp_ids = list(range(N_EXPRESSIONS))
     exp_bank = jnp.asarray(model_params["exp_codes"])[jnp.asarray(exp_ids)]
-
-    student_cfg = dcfg.student_config(spec.fine)
-    state, tx = init_student(jax.random.PRNGKey(seed), student_cfg, dcfg.lr)
     teacher_params = model_params["fine"]
     ism_params = model_params["ism"]
 
-    @jax.jit
-    def run(state, k0, n):
-        def body(i, carry):
-            st, _ = carry
-            st, m = distill_exp_step(
-                st, tx, teacher_params, spec.fine, ism_params, exp_bank,
-                shape_code, tex_code, dcfg, student_cfg,
-                jax.random.fold_in(k0, i),
-            )
-            return st, m["loss"]
-        return jax.lax.fori_loop(0, n, body, (state, jnp.asarray(0.0)))
+    def sample_code(key):
+        raw = _sample_exp_code(key, exp_bank)
+        exp_mod = modulate_expression(ism_params, shape_code, raw)
+        return exp_mod, fold_conditioning(
+            teacher_params, shape_code, exp_mod, tex_code)
 
-    key = jax.random.PRNGKey(seed + 1)
-    window = log_every if log_every > 0 else dcfg.n_steps
-    done = 0
-    while done < dcfg.n_steps:
-        n = min(window, dcfg.n_steps - done)
-        state, loss = run(state, jax.random.fold_in(key, done), n)
-        done += n
-        if log_every:
-            print(f"[DISTILL-EXP] step {done}/{dcfg.n_steps} loss {float(loss):.5f}")
-    return state, student_cfg
+    return distill_conditioned(teacher_params, spec.fine, sample_code, dcfg,
+                               seed, log_every, tag="DISTILL-EXP")
+
+
+def avatar_code(model_params: Params, shape_code: jnp.ndarray,
+                raw_exp_code: jnp.ndarray) -> jnp.ndarray:
+    """The conditioning code a multi-avatar student expects:
+    [shape_code ; ISM-modulated expression latent]."""
+    return jnp.concatenate(
+        [shape_code, student_code(model_params, shape_code, raw_exp_code)])
+
+
+def distill_avatars(
+    model_params: Params,        # FULL model pytree: fine + ism + exp_codes
+    spec,                        # render.renderer.MoFaNeRF
+    avatars,                     # list of (shape_code [S], tex_code [T])
+    dcfg: DistillConfig | None = None,
+    exp_ids=None,
+    seed: int = 0,
+    log_every: int = 0,
+) -> Tuple[StudentState, Any]:
+    """ONE student serving SEVERAL avatars x the whole expression bank:
+    the conditioning code is [shape ; modulated expression] (the shape code
+    uniquely indexes the avatar, so geometry AND appearance follow it).
+    Render with `avatar_code(model_params, shape_i, raw_exp)` as cond —
+    same fold, same fused kernel, same serving throughput."""
+    from mofanerf_tpu.models.field import fold_conditioning
+    from mofanerf_tpu.models.ism import modulate_expression
+
+    cond_dim = int(spec.shape_dim) + int(spec.exp_dim)
+    if dcfg is None:
+        dcfg = DistillConfig(cond_dim=cond_dim)
+    assert dcfg.cond_dim == cond_dim, (
+        f"cond_dim {dcfg.cond_dim} != shape_dim+exp_dim {cond_dim}"
+    )
+    if exp_ids is None:
+        from mofanerf_tpu.render.renderer import N_EXPRESSIONS
+
+        exp_ids = list(range(N_EXPRESSIONS))
+    exp_bank = jnp.asarray(model_params["exp_codes"])[jnp.asarray(exp_ids)]
+    shapes = jnp.stack([jnp.asarray(a[0]) for a in avatars])   # [A, S]
+    texs = jnp.stack([jnp.asarray(a[1]) for a in avatars])     # [A, T]
+    teacher_params = model_params["fine"]
+    ism_params = model_params["ism"]
+
+    def sample_code(key):
+        ka, ke = jax.random.split(key)
+        i = jax.random.randint(ka, (), 0, shapes.shape[0])
+        shape, tex = shapes[i], texs[i]
+        raw = _sample_exp_code(ke, exp_bank)
+        exp_mod = modulate_expression(ism_params, shape, raw)
+        code = jnp.concatenate([shape, exp_mod])
+        return code, fold_conditioning(teacher_params, shape, exp_mod, tex)
+
+    return distill_conditioned(teacher_params, spec.fine, sample_code, dcfg,
+                               seed, log_every, tag="DISTILL-AVATARS")

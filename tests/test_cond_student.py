@@ -267,3 +267,74 @@ def test_student_artifact_roundtrip(tmp_path):
         assert len(ref) == len(got)
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distill_avatars_learns_identity_control():
+    """Two 'avatars' (distinct shape codes driving an amplified shape
+    pathway) distill into ONE student whose [shape; exp] code steers it to
+    the right member of the family."""
+    from mofanerf_tpu.models.ism import init_ism_params
+    from mofanerf_tpu.render.renderer import MoFaNeRF, RenderConfig
+    from mofanerf_tpu.train.distill import (
+        DistillConfig,
+        _field_outputs,
+        avatar_code,
+        distill_avatars,
+    )
+    from mofanerf_tpu.models.field import fold_conditioning, init_field_params
+    from mofanerf_tpu.models.ism import modulate_expression
+
+    sdim = edim = 4
+    fine_cfg = FieldConfig(depth=2, width=32, skip=0, xyz_depth=1,
+                           multires=4, exp_dim=edim, shape_dim=sdim,
+                           tex_dim=4, compute_dtype=jnp.float32)
+    spec = MoFaNeRF(coarse=fine_cfg, fine=fine_cfg,
+                    render=RenderConfig(n_coarse=4, n_importance=4),
+                    shape_dim=sdim, exp_dim=edim, tex_dim=4, uv_size=128)
+    fine_params = init_field_params(jax.random.PRNGKey(0), fine_cfg)
+    # amplify the SHAPE pathway so identities are genuinely distinct
+    fine_params["sigma"]["w_code0"] = fine_params["sigma"]["w_code0"] * 8.0
+    model_params = {
+        "fine": fine_params,
+        "ism": init_ism_params(jax.random.PRNGKey(1), in_dim=sdim, width=16,
+                               depth=2, out_dim=edim),
+        "exp_codes": jnp.asarray([[1.0, 0, 0, 0]]),
+    }
+    avatars = [(jnp.asarray([2.0, 0, 0, 0]), jnp.zeros(4)),
+               (jnp.asarray([0, 2.0, 0, 0]), jnp.zeros(4))]
+
+    dcfg = DistillConfig(depth=2, width=32, multires=4,
+                         cond_dim=sdim + edim, n_steps=400, batch=512,
+                         lr=3e-3, aabb_min=(-2.0,) * 3, aabb_max=(2.0,) * 3,
+                         compute_dtype=jnp.float32)
+    st, scfg = distill_avatars(model_params, spec, avatars, dcfg,
+                               exp_ids=[0], seed=0)
+    assert scfg.cond_dim == sdim + edim
+
+    pts = jax.random.uniform(jax.random.PRNGKey(3), (256, 3),
+                             minval=-1.5, maxval=1.5)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0, -1.0]]), (256, 1))
+    raw0 = model_params["exp_codes"][0]
+    sigs_t, sigs_s = [], []
+    for shape, _tex in avatars:
+        mod = modulate_expression(model_params["ism"], shape, raw0)
+        cond_t = fold_conditioning(model_params["fine"], shape, mod,
+                                   jnp.zeros(4))
+        _, sig_t = _field_outputs(model_params["fine"], fine_cfg, cond_t,
+                                  pts, dirs)
+        code = avatar_code(model_params, shape, raw0)
+        _, sig_s = _field_outputs(st.params, scfg, code, pts, dirs)
+        sigs_t.append(np.log1p(np.asarray(sig_t)))
+        sigs_s.append(np.log1p(np.asarray(sig_s)))
+
+    def err(s, t):
+        return np.abs(sigs_s[s] - sigs_t[t]).mean()
+
+    cross = np.abs(sigs_t[0] - sigs_t[1]).mean()
+    if cross > 1e-3:
+        assert err(0, 0) < err(0, 1) and err(1, 1) < err(1, 0), (
+            f"student ignores the avatar code: {err(0,0)=} {err(0,1)=} "
+            f"{err(1,1)=} {err(1,0)=}"
+        )
+        spread_s = np.abs(sigs_s[0] - sigs_s[1]).mean()
+        assert spread_s > cross / 3, f"{spread_s=} vs teacher {cross=}"
