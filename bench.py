@@ -178,6 +178,15 @@ def main() -> None:
         extras["serve_cond_psnr_vs_teacher_db"] = [
             cq["per_expression"][e]["cond_psnr_vs_teacher_db"] for e in ("0", "1")
         ]
+    aart = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "avatar_student_quality.json")
+    if os.path.exists(aart):
+        with open(aart) as fh:
+            aq = json.load(fh)
+        extras["serve_multiavatar_own_vs_cross_db"] = [
+            [aq["per_identity"][i]["own_psnr_db"],
+             aq["per_identity"][i]["cross_psnr_db"]] for i in ("0", "1")
+        ]
 
     # ---------------- teacher paths (flagship dims)
     spec = MoFaNeRF(
