@@ -118,9 +118,10 @@ def main() -> None:
         pid = int(ds.id_codes[ii])
         fr, fc = np.nonzero(t.sum(-1) > 0.05)
         nf = min(int(n_rand * 0.6), fr.shape[0])
-        pick = rng.integers(0, fr.shape[0], nf)
+        pick = (rng.integers(0, fr.shape[0], nf) if nf
+                else np.empty(0, np.int64))
         coords = np.concatenate([
-            np.stack([fr[pick], fc[pick]], -1),
+            np.stack([fr[pick], fc[pick]], -1).reshape(nf, 2),
             np.stack([rng.integers(0, H, n_rand - nf),
                       rng.integers(0, W, n_rand - nf)], -1)], 0)
         ro, rd = get_rays_at(jnp.asarray(coords, jnp.float32), jnp.asarray(K),

@@ -123,61 +123,6 @@ def sweep_rays(
     return _scatter_background(maps, sel, n, n_eval, white_bkgd)
 
 
-def sweep_rays_sharded(
-    ray_fn: Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
-    ro_flat: jnp.ndarray,   # [N, 3]
-    rd_flat: jnp.ndarray,   # [N, 3]
-    packet_size: int,
-    mesh,
-    aabb_min=None,
-    aabb_max=None,
-    near: float = 0.0,
-    far: float = jnp.inf,
-    hit_fraction: float | None = 1.0,
-    white_bkgd: bool = False,
-    packet_multiple: int = 1,
-) -> Dict[str, jnp.ndarray]:
-    """Multi-chip sweep_rays: compaction runs GLOBALLY (background pools
-    across the whole stream), then the compacted rays shard over the
-    mesh's `data` axis via shard_map and every device runs its own
-    sequential packet loop — rays are independent, so no collectives.
-    The multi-chip serving path for orbit/path rendering.
-
-    Note: each call traces a fresh shard_map program; steady-state serving
-    should go through render/serve.py's render_path_serve(mesh=...), which
-    caches the compiled program per (config, mesh, shape)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax import shard_map
-
-    n = ro_flat.shape[0]
-    n_data = mesh.shape["data"]
-    p = min(packet_size, max(1, n // n_data))
-    p = -(-p // packet_multiple) * packet_multiple
-    ro_flat, rd_flat, sel, n_eval = _compact_rays(
-        ro_flat, rd_flat, p, aabb_min, aabb_max, near, far, hit_fraction
-    )
-
-    stride = p * n_data
-    n_pad = (-n_eval) % stride
-    ro = jnp.concatenate([ro_flat, jnp.ones((n_pad, 3))], axis=0)
-    rd = jnp.concatenate([rd_flat, jnp.ones((n_pad, 3))], axis=0)
-    rs = NamedSharding(mesh, P("data"))
-
-    def local_sweep(o, d):  # per-device [n_local, 3]
-        op = o.reshape(-1, p, 3)
-        dp = d.reshape(-1, p, 3)
-        return jax.lax.map(lambda args: ray_fn(args[0], args[1]), (op, dp))
-
-    # check_vma=False: a pallas_call inside shard_map can't declare its
-    # output's mesh-variance; there are no collectives here to validate
-    f = jax.jit(shard_map(
-        local_sweep, mesh=mesh, in_specs=(P("data"), P("data")),
-        out_specs=P("data"), check_vma=False,
-    ))
-    maps = f(jax.device_put(ro, rs), jax.device_put(rd, rs))
-    return _scatter_background(maps, sel, n, n_eval, white_bkgd)
-
-
 def sweep_frame(
     ray_fn: Callable[[jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
     H: int,

@@ -84,10 +84,12 @@ def render_rays_bounded(
     return {"rgb": c.rgb, "disp": c.disp, "acc": c.acc, "depth": c.depth}
 
 
-def _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max, white_bkgd,
-               fused, sigma_activation):
-    """(params, cond, o, d) -> maps. One shared builder so frame/path/
-    sharded renderers run the identical per-packet program."""
+def _packet_fn(cfg, near, far, n_samples, white_bkgd, fused,
+               sigma_activation):
+    """(params, cond, aabb_lo, aabb_hi, o, d) -> maps. One shared builder so
+    frame/path/sharded renderers run the identical per-packet program. The
+    AABB is a CALL argument (not baked in) so the cached sharded program
+    serves per-avatar tightened boxes without retracing."""
     if fused:
         from mofanerf_tpu.ops.pallas_serve import render_rays_bounded_fused
 
@@ -97,17 +99,17 @@ def _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max, white_bkgd,
                 f"for sigma_activation={sigma_activation!r}"
             )
 
-        def packet(params, cond, o, d):
+        def packet(params, cond, lo, hi, o, d):
             assert cond is None  # folded by the caller
             return render_rays_bounded_fused(
                 params, cfg, o, d, near, far, n_samples,
-                aabb_min, aabb_max, white_bkgd,
+                lo, hi, white_bkgd,
             )
     else:
-        def packet(params, cond, o, d):
+        def packet(params, cond, lo, hi, o, d):
             return render_rays_bounded(
                 params, cfg, cond, o, d, near, far, n_samples,
-                aabb_min, aabb_max, white_bkgd,
+                lo, hi, white_bkgd,
                 sigma_activation=sigma_activation,
             )
     return packet
@@ -154,11 +156,13 @@ def render_frame_serve(
     fused and XLA) is identical to an unconditioned student's."""
     if isinstance(cfg, StudentConfig) and cond is not None:
         params, cond = fold_student_code(params, cond), None
-    pf = _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max,
-                    white_bkgd, fused, sigma_activation)
+    pf = _packet_fn(cfg, near, far, n_samples, white_bkgd, fused,
+                    sigma_activation)
+    lo = jnp.asarray(aabb_min, jnp.float32)
+    hi = jnp.asarray(aabb_max, jnp.float32)
 
     return sweep_frame(
-        lambda o, d: pf(params, cond, o, d), H, W, K, c2w, packet_size,
+        lambda o, d: pf(params, cond, lo, hi, o, d), H, W, K, c2w, packet_size,
         aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
         hit_fraction=hit_fraction, white_bkgd=white_bkgd,
         packet_multiple=_fused_block_multiple(fused),
@@ -200,8 +204,8 @@ def render_path_serve(
 
     if isinstance(cfg, StudentConfig) and cond is not None:
         params, cond = fold_student_code(params, cond), None
-    aabb_min = tuple(float(x) for x in jnp.asarray(aabb_min).tolist())
-    aabb_max = tuple(float(x) for x in jnp.asarray(aabb_max).tolist())
+    lo = jnp.asarray(aabb_min, jnp.float32)
+    hi = jnp.asarray(aabb_max, jnp.float32)
 
     poses = jnp.asarray(poses)
     F = poses.shape[0]
@@ -214,17 +218,17 @@ def render_path_serve(
     ro = jnp.concatenate(ro)
     rd = jnp.concatenate(rd)
 
-    static = (cfg, float(near), float(far), int(n_samples), aabb_min,
-              aabb_max, bool(white_bkgd), bool(fused), sigma_activation)
+    static = (cfg, float(near), float(far), int(n_samples),
+              bool(white_bkgd), bool(fused), sigma_activation)
     if mesh is not None:
         out = _sharded_sweep(static, mesh, packet_size)(
-            params, cond, ro, rd, hit_fraction)
+            params, cond, lo, hi, ro, rd, hit_fraction)
     else:
-        pf = _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max,
-                        white_bkgd, fused, sigma_activation)
+        pf = _packet_fn(cfg, near, far, n_samples, white_bkgd, fused,
+                        sigma_activation)
         out = sweep_rays(
-            lambda o, d: pf(params, cond, o, d), ro, rd, packet_size,
-            aabb_min=aabb_min, aabb_max=aabb_max, near=near, far=far,
+            lambda o, d: pf(params, cond, lo, hi, o, d), ro, rd, packet_size,
+            aabb_min=lo, aabb_max=hi, near=near, far=far,
             hit_fraction=hit_fraction, white_bkgd=white_bkgd,
             packet_multiple=_fused_block_multiple(fused),
         )
@@ -236,21 +240,21 @@ _SHARDED_SWEEP_CACHE: dict = {}
 
 def _sharded_sweep(static, mesh, packet_size):
     """Cached multi-chip sweep: the shard_map program is keyed by the
-    STATIC render config + mesh + packet shape and takes (params, cond)
-    as traced arguments — new avatars/frames reuse the compiled program
-    (jit's own shape cache handles varying ray counts)."""
-    (cfg, near, far, n_samples, aabb_min, aabb_max, white_bkgd, fused,
-     sigma_activation) = static
+    STATIC render config + mesh + packet shape and takes (params, cond,
+    aabb) as traced arguments — new avatars (their own params AND their own
+    tightened AABBs) reuse the compiled program (jit's own shape cache
+    handles varying ray counts)."""
+    (cfg, near, far, n_samples, white_bkgd, fused, sigma_activation) = static
     n_data = mesh.shape["data"]
 
-    def run(params, cond, ro, rd, hit_fraction):
+    def run(params, cond, lo, hi, ro, rd, hit_fraction):
         from mofanerf_tpu.ops.sweep import _compact_rays, _scatter_background
 
         n = ro.shape[0]
         p = min(packet_size, max(1, n // n_data))
         p = -(-p // _fused_block_multiple(fused)) * _fused_block_multiple(fused)
         ro_c, rd_c, sel, n_eval = _compact_rays(
-            ro, rd, p, aabb_min, aabb_max, near, far, hit_fraction)
+            ro, rd, p, lo, hi, near, far, hit_fraction)
         stride = p * n_data
         n_pad = (-n_eval) % stride
         ro_p = jnp.concatenate([ro_c, jnp.ones((n_pad, 3))], axis=0)
@@ -262,18 +266,19 @@ def _sharded_sweep(static, mesh, packet_size):
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            pf = _packet_fn(cfg, near, far, n_samples, aabb_min, aabb_max,
-                            white_bkgd, fused, sigma_activation)
+            pf = _packet_fn(cfg, near, far, n_samples, white_bkgd, fused,
+                            sigma_activation)
 
-            def local_sweep(params, cond, o, d):
+            def local_sweep(params, cond, lo, hi, o, d):
                 op = o.reshape(-1, p, 3)
                 dp = d.reshape(-1, p, 3)
                 return jax.lax.map(
-                    lambda args: pf(params, cond, args[0], args[1]), (op, dp))
+                    lambda args: pf(params, cond, lo, hi, args[0], args[1]),
+                    (op, dp))
 
             f = jax.jit(shard_map(
                 local_sweep, mesh=mesh,
-                in_specs=(P(), P(), P("data"), P("data")),
+                in_specs=(P(), P(), P(), P(), P("data"), P("data")),
                 out_specs=P("data"), check_vma=False,
             ))
             _SHARDED_SWEEP_CACHE[key] = f
@@ -281,7 +286,7 @@ def _sharded_sweep(static, mesh, packet_size):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rs = NamedSharding(mesh, P("data"))
-        maps = f(params, cond, jax.device_put(ro_p, rs),
+        maps = f(params, cond, lo, hi, jax.device_put(ro_p, rs),
                  jax.device_put(rd_p, rs))
         return _scatter_background(maps, sel, n, n_eval, white_bkgd)
 

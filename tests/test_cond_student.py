@@ -237,17 +237,19 @@ def test_distill_expressions_learns_code_control():
         return np.abs(sigs_s[s] - sigs_t[t]).mean()
 
     cross = np.abs(sigs_t[0] - sigs_t[1]).mean()
-    if cross > 1e-3:  # teacher family is non-degenerate
-        # code-specificity: student(code_e) is closer to teacher_e than to
-        # the other expression's teacher — the code input steers the field
-        assert err(0, 0) < err(0, 1) and err(1, 1) < err(1, 0), (
-            f"student ignores the code: {err(0,0)=} {err(0,1)=} "
-            f"{err(1,1)=} {err(1,0)=}"
-        )
-        # and the student's own code-induced spread matches the teacher's
-        # within a factor of 3 (it learned the family, not one average)
-        spread_s = np.abs(sigs_s[0] - sigs_s[1]).mean()
-        assert spread_s > cross / 3, f"{spread_s=} vs teacher {cross=}"
+    # w_exp is amplified 8x so the family separates; branching on cross
+    # would make the test vacuous under a conditioning regression
+    assert cross > 1e-3, f"teacher expressions do not separate ({cross=})"
+    # code-specificity: student(code_e) is closer to teacher_e than to
+    # the other expression's teacher — the code input steers the field
+    assert err(0, 0) < err(0, 1) and err(1, 1) < err(1, 0), (
+        f"student ignores the code: {err(0,0)=} {err(0,1)=} "
+        f"{err(1,1)=} {err(1,0)=}"
+    )
+    # and the student's own code-induced spread matches the teacher's
+    # within a factor of 3 (it learned the family, not one average)
+    spread_s = np.abs(sigs_s[0] - sigs_s[1]).mean()
+    assert spread_s > cross / 3, f"{spread_s=} vs teacher {cross=}"
 
 
 def test_student_artifact_roundtrip(tmp_path):
@@ -331,10 +333,12 @@ def test_distill_avatars_learns_identity_control():
         return np.abs(sigs_s[s] - sigs_t[t]).mean()
 
     cross = np.abs(sigs_t[0] - sigs_t[1]).mean()
-    if cross > 1e-3:
-        assert err(0, 0) < err(0, 1) and err(1, 1) < err(1, 0), (
-            f"student ignores the avatar code: {err(0,0)=} {err(0,1)=} "
-            f"{err(1,1)=} {err(1,0)=}"
-        )
-        spread_s = np.abs(sigs_s[0] - sigs_s[1]).mean()
-        assert spread_s > cross / 3, f"{spread_s=} vs teacher {cross=}"
+    # the fixture amplifies w_code0 by 8x precisely so the teachers separate
+    # — a non-separating family would make every assertion below vacuous
+    assert cross > 1e-3, f"teacher identities do not separate ({cross=})"
+    assert err(0, 0) < err(0, 1) and err(1, 1) < err(1, 0), (
+        f"student ignores the avatar code: {err(0,0)=} {err(0,1)=} "
+        f"{err(1,1)=} {err(1,0)=}"
+    )
+    spread_s = np.abs(sigs_s[0] - sigs_s[1]).mean()
+    assert spread_s > cross / 3, f"{spread_s=} vs teacher {cross=}"

@@ -232,3 +232,35 @@ def test_serve_path_sharded_fused_and_conditioned():
                             mesh=mesh, **kw)
     np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_serve_program_cache_reused_across_avatars():
+    """Different students AND different (per-avatar tightened) AABBs must
+    reuse ONE compiled sharded program — params/cond/aabb are traced
+    arguments, not baked constants (remote compiles cost minutes)."""
+    from mofanerf_tpu.models.student import StudentConfig, init_point_field
+    from mofanerf_tpu.ops.rays import pose_spherical
+    from mofanerf_tpu.render import serve
+    from mofanerf_tpu.render.serve import render_path_serve
+
+    cfg = StudentConfig(depth=2, width=32, multires=4,
+                        compute_dtype=jnp.float32)
+    mesh = make_mesh(n_data=2, n_model=1)
+    poses = np.stack([np.asarray(pose_spherical(0.0, -10.0, 16.0))])
+    K = jnp.asarray([[16.0, 0, 8.0], [0, 16.0, 8.0], [0, 0, 1.0]])
+
+    serve._SHARDED_SWEEP_CACHE.clear()
+    outs = []
+    for seed, box in ((0, 2.0), (1, 1.7), (2, 2.3)):
+        params, cond = init_point_field(jax.random.PRNGKey(seed), cfg)
+        params["sigma"]["b"] = params["sigma"]["b"] + 1.0
+        out = render_path_serve(
+            params, cfg, cond, poses, 16, 16, K, near=8.0, far=26.0,
+            n_samples=4, aabb_min=(-box,) * 3, aabb_max=(box,) * 3,
+            packet_size=64, hit_fraction=1.0, mesh=mesh)
+        outs.append(np.asarray(out["rgb"]))
+    assert len(serve._SHARDED_SWEEP_CACHE) == 1, (
+        f"cache fragmented: {len(serve._SHARDED_SWEEP_CACHE)} entries"
+    )
+    # different avatars must still render differently (not a constant bake)
+    assert np.abs(outs[0] - outs[1]).max() > 1e-5
