@@ -53,6 +53,13 @@ def main(argv=None) -> None:
     p.add_argument("--rig_expressions", default="9,14,2,16,17",
                    help="comma-separated bank slots the rig sweeps through "
                         "(reference default list, run_fit.py:388)")
+    p.add_argument("--distill_avatars", default=None,
+                   help="comma-separated person ids: distill ONE student "
+                        "across those identities ([shape ; expression] "
+                        "conditioning) and render an orbit that morphs "
+                        "between them — the serving-speed analog of the "
+                        "reference's shape/texture-swap demo "
+                        "(run_fit.py:405-431)")
     p.add_argument("--distill_steps", type=int, default=2000)
     p.add_argument("--student_path", default=None,
                    help="deployable student artifact (.npz): load it instead "
@@ -88,18 +95,34 @@ def main(argv=None) -> None:
     poses = np.stack(
         [pose_spherical(a, 0.0, 16.0) for a in np.linspace(-180, 180, args.n_views + 1)[:-1]]
     )
-    if args.distill or args.distill_cond:
+    if args.distill or args.distill_cond or args.distill_avatars:
         from mofanerf_tpu.ops.bounds import DEFAULT_AABB_MAX, DEFAULT_AABB_MIN
         from mofanerf_tpu.render.serve import render_frame_serve
         from mofanerf_tpu.train.distill import (
             DistillConfig,
             StudentState,
+            avatar_code,
             distill,
+            distill_avatars,
             distill_expressions,
             load_student,
             save_student,
             student_code,
         )
+
+        def person_codes(pid):
+            s = jnp.zeros(spec.shape_dim)
+            if os.path.exists(cfg.shape_codes_path):
+                s = jnp.asarray(load_shape_codes(cfg.shape_codes_path)[pid])
+            t = jnp.zeros(spec.tex_dim)
+            uvp = os.path.join(cfg.uvdir, str(pid), "1_neutral.jpg")
+            if os.path.exists(uvp):
+                t = encode_texture(params, spec, jnp.asarray(
+                    read_image(uvp, is_uvmap=True, uv_size=spec.uv_size)))
+            return s, t
+
+        avatar_ids = ([int(s) for s in args.distill_avatars.split(",")]
+                      if args.distill_avatars else None)
 
         # tighten the sampling box from the training-maintained occupancy
         # grid when available — fewer wasted samples per ray
@@ -125,6 +148,21 @@ def main(argv=None) -> None:
                     "--distill_cond rig needs a conditioned student but "
                     f"{args.student_path} is unconditioned (cond_dim=0)"
                 )
+            if avatar_ids and scfg.cond_dim != spec.shape_dim + spec.exp_dim:
+                raise SystemExit(
+                    "--distill_avatars needs a [shape ; exp]-conditioned "
+                    f"student (cond_dim={spec.shape_dim + spec.exp_dim}) but "
+                    f"{args.student_path} has cond_dim={scfg.cond_dim}"
+                )
+        elif avatar_ids:
+            avs = [person_codes(pid) for pid in avatar_ids]
+            st, scfg = distill_avatars(
+                params, spec, avs,
+                DistillConfig(cond_dim=spec.shape_dim + spec.exp_dim,
+                              **dcfg_kw),
+                exp_ids=[args.expression],
+                log_every=max(1, args.distill_steps // 4),
+            )
         elif args.distill_cond:
             st, scfg = distill_expressions(
                 params, spec, shape, tex,
@@ -154,7 +192,25 @@ def main(argv=None) -> None:
             aabb_min=aabb_min, aabb_max=aabb_max,
             hit_fraction=1.0, fused=fused,
         )["rgb"])
-        if args.distill_cond:
+        if avatar_ids:
+            # morph the shape code between the avatars across the orbit
+            # (expression fixed) — identity morphing at serving throughput
+            shapes = [person_codes(pid)[0] for pid in avatar_ids]
+            raw_e = exp_code_for(params, args.expression)
+            n_f = len(poses)
+            codes = []
+            for fidx in range(n_f):
+                t = fidx / max(1, n_f - 1) * (len(shapes) - 1)
+                i0 = min(int(t), max(0, len(shapes) - 2))
+                a = t - i0
+                s_t = ((1.0 - a) * shapes[i0]
+                       + a * shapes[min(i0 + 1, len(shapes) - 1)])
+                codes.append(avatar_code(params, s_t, raw_e))
+            rgbs = np.stack([
+                np.asarray(frame(jnp.asarray(p_)[:3], c))
+                for p_, c in zip(poses, codes)
+            ])
+        elif args.distill_cond:
             # morph the raw expression latent through the rig list across
             # the orbit, ISM-modulate per frame — ONE compiled frame fn,
             # code is a traced argument (zero recompiles)

@@ -58,3 +58,37 @@ def test_run_render_distill_cond_rig(tmp_path):
     argv_single[argv_single.index("--out_dir") + 1] = str(tmp_path / "single")
     main(["--expression", "1"] + argv_single + ["--distill"])
     assert len(os.listdir(tmp_path / "single")) >= 2
+
+
+def test_run_render_distill_avatars_morph(tmp_path):
+    """--distill_avatars renders an identity-morphing orbit through one
+    multi-avatar student."""
+    from mofanerf_tpu.cli.run_render import main
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=2, n_train=1, n_test=1, hw=16)
+    out = tmp_path / "morph"
+    main([
+        "--out_dir", str(out),
+        "--n_views", "3",
+        "--render_factor", "32",
+        "--distill_avatars", "0,1",
+        "--distill_steps", "4",
+        "--n_samples", "8",
+        "--expname", "smoke",
+        "--basedir", str(tmp_path / "logs"),
+        "--datadir", str(data_dir),
+        "--uvdir", str(data_dir / "uv"),
+        "--shape_codes_path", str(data_dir / "factors_id.npy"),
+        "--netdepth", "2", "--netwidth", "8",
+        "--netdepth_fine", "2", "--netwidth_fine", "8",
+        "--N_samples", "4", "--N_importance", "4",
+        "--compute_dtype", "float32",
+    ])
+    pngs = [f for f in sorted(os.listdir(out)) if f.endswith(".png")]
+    assert len(pngs) == 3, pngs
+    import imageio.v2 as imageio
+
+    img = imageio.imread(out / pngs[0])
+    assert img.shape[:2] == (16, 16)
+    assert np.isfinite(img.astype(np.float32)).all()
