@@ -121,8 +121,14 @@ def main(argv=None) -> None:
                     read_image(uvp, is_uvmap=True, uv_size=spec.uv_size)))
             return s, t
 
-        avatar_ids = ([int(s) for s in args.distill_avatars.split(",")]
+        avatar_ids = ([int(s) for s in args.distill_avatars.split(",")
+                       if s.strip()]
                       if args.distill_avatars else None)
+        if args.distill_avatars and not avatar_ids:
+            raise SystemExit(
+                f"--distill_avatars={args.distill_avatars!r} parses to an "
+                "empty list — pass comma-separated person ids"
+            )
 
         # tighten the sampling box from the training-maintained occupancy
         # grid when available — fewer wasted samples per ray
@@ -135,18 +141,21 @@ def main(argv=None) -> None:
             aabb_min, aabb_max = grid_aabb(g)
             print(f"serving AABB from maintained grid: {aabb_min} .. {aabb_max}")
 
+        near, far = spec.render.near, spec.render.far
         dcfg_kw = dict(n_steps=args.distill_steps,
-                       near=spec.render.near, far=spec.render.far,
+                       near=near, far=far,
                        aabb_min=aabb_min, aabb_max=aabb_max,
                        teacher_sigma_activation=spec.render.sigma_activation)
         if args.student_path and os.path.exists(args.student_path):
-            sparams, scfg = load_student(args.student_path)
+            sparams, scfg, prov = load_student(
+                args.student_path, with_provenance=True)
             st = StudentState(sparams, None, None, jnp.asarray(0))
             print(f"loaded student artifact: {args.student_path}")
-            if args.distill_cond and scfg.cond_dim == 0:
+            if args.distill_cond and scfg.cond_dim != spec.exp_dim:
                 raise SystemExit(
-                    "--distill_cond rig needs a conditioned student but "
-                    f"{args.student_path} is unconditioned (cond_dim=0)"
+                    "--distill_cond rig needs an expression-conditioned "
+                    f"student (cond_dim={spec.exp_dim}) but "
+                    f"{args.student_path} has cond_dim={scfg.cond_dim}"
                 )
             if avatar_ids and scfg.cond_dim != spec.shape_dim + spec.exp_dim:
                 raise SystemExit(
@@ -154,6 +163,44 @@ def main(argv=None) -> None:
                     f"student (cond_dim={spec.shape_dim + spec.exp_dim}) but "
                     f"{args.student_path} has cond_dim={scfg.cond_dim}"
                 )
+            if (not args.distill_cond and not avatar_ids
+                    and scfg.cond_dim not in (0, spec.exp_dim)):
+                raise SystemExit(
+                    f"artifact {args.student_path} has cond_dim="
+                    f"{scfg.cond_dim}, which matches neither an "
+                    f"unconditioned (0) nor an expression-conditioned "
+                    f"({spec.exp_dim}) student — use --distill_avatars for "
+                    "[shape ; exp]-conditioned artifacts"
+                )
+            if prov:
+                # a student is untrained outside its distillation box —
+                # the artifact's recorded bounds override anything the
+                # current environment derives (ADVICE r2: AABB mismatch
+                # silently renders garbage density)
+                aabb_min = tuple(prov.get("aabb_min", aabb_min))
+                aabb_max = tuple(prov.get("aabb_max", aabb_max))
+                near = float(prov.get("near", near))
+                far = float(prov.get("far", far))
+                print(f"serving AABB from artifact: {aabb_min} .. {aabb_max}")
+                prov_person = prov.get("person")
+                if prov_person is not None and int(prov_person) != args.person:
+                    raise SystemExit(
+                        f"artifact {args.student_path} was distilled for "
+                        f"person {prov_person}, but --person={args.person} "
+                        "was requested — the student's weights encode that "
+                        "identity; re-distill (different --student_path) or "
+                        f"pass --person {prov_person}"
+                    )
+                prov_avatars = prov.get("avatar_ids")
+                if (prov_avatars is not None and avatar_ids is not None
+                        and list(prov_avatars) != avatar_ids):
+                    raise SystemExit(
+                        f"artifact {args.student_path} covers avatars "
+                        f"{prov_avatars}, but --distill_avatars="
+                        f"{avatar_ids} was requested"
+                    )
+                if prov_avatars is not None and avatar_ids is None:
+                    avatar_ids = [int(v) for v in prov_avatars]
         elif avatar_ids:
             avs = [person_codes(pid) for pid in avatar_ids]
             st, scfg = distill_avatars(
@@ -176,7 +223,17 @@ def main(argv=None) -> None:
                 log_every=max(1, args.distill_steps // 4),
             )
         if args.student_path and not os.path.exists(args.student_path):
-            save_student(args.student_path, st.params, scfg)
+            from mofanerf_tpu.train.distill import distill_provenance
+
+            dcfg_used = DistillConfig(
+                cond_dim=getattr(scfg, "cond_dim", 0), **dcfg_kw)
+            prov = distill_provenance(
+                dcfg_used,
+                person=None if avatar_ids else args.person,
+                expression=args.expression,
+                avatar_ids=avatar_ids,
+            )
+            save_student(args.student_path, st.params, scfg, provenance=prov)
             print(f"saved student artifact: {args.student_path}")
         rf = max(1, args.render_factor)
         H = W = 512 // rf
@@ -187,7 +244,7 @@ def main(argv=None) -> None:
         pkt = min(16384, max(256, (H * W) // 4 // 256 * 256))
         frame = jax.jit(lambda pose, c: render_frame_serve(
             st.params, scfg, c, H, W, Kr, pose,
-            near=spec.render.near, far=spec.render.far,
+            near=near, far=far,
             n_samples=args.n_samples, packet_size=pkt,
             aabb_min=aabb_min, aabb_max=aabb_max,
             hit_fraction=1.0, fused=fused,
@@ -214,15 +271,20 @@ def main(argv=None) -> None:
             # morph the raw expression latent through the rig list across
             # the orbit, ISM-modulate per frame — ONE compiled frame fn,
             # code is a traced argument (zero recompiles)
-            rig = [int(s) for s in args.rig_expressions.split(",")]
+            rig = [int(s) for s in args.rig_expressions.split(",") if s.strip()]
+            if not rig:
+                raise SystemExit(
+                    f"--rig_expressions={args.rig_expressions!r} parses to an "
+                    "empty list — pass comma-separated bank slot indices"
+                )
             n_f = len(poses)
             codes = []
             for fidx in range(n_f):
                 t = fidx / max(1, n_f - 1) * (len(rig) - 1)
-                i0 = min(int(t), len(rig) - 2)
+                i0 = min(int(t), max(0, len(rig) - 2))
                 a = t - i0
                 raw = ((1.0 - a) * exp_code_for(params, rig[i0])
-                       + a * exp_code_for(params, rig[i0 + 1]))
+                       + a * exp_code_for(params, rig[min(i0 + 1, len(rig) - 1)]))
                 codes.append(student_code(params, shape, raw))
             rgbs = np.stack([
                 np.asarray(frame(jnp.asarray(p_)[:3], c))

@@ -276,11 +276,36 @@ def distill(
 # Deployable student artifacts: one .npz per avatar
 # ---------------------------------------------------------------------------
 
-def save_student(path: str, params: Params, cfg) -> None:
+def distill_provenance(dcfg: DistillConfig, **extra) -> Dict[str, Any]:
+    """Provenance block for a student artifact: the distillation AABB and
+    ray bounds the student was trained inside (a student is UNTRAINED
+    outside its distill box — serving it with a different box silently
+    renders garbage density), plus caller-supplied identity fields
+    (person/expression/avatar ids)."""
+    prov: Dict[str, Any] = {
+        "aabb_min": [float(v) for v in dcfg.aabb_min],
+        "aabb_max": [float(v) for v in dcfg.aabb_max],
+        "near": float(dcfg.near),
+        "far": float(dcfg.far),
+        "teacher_sigma_activation": dcfg.teacher_sigma_activation,
+        "n_steps": int(dcfg.n_steps),
+    }
+    for k, v in extra.items():
+        if v is not None:
+            prov[k] = v
+    return prov
+
+
+def save_student(path: str, params: Params, cfg,
+                 provenance: Dict[str, Any] | None = None) -> None:
     """Write a distilled student as ONE deployable file: flat params keyed
     by pytree path + the StudentConfig as JSON metadata. The serving-side
     analog of the reference's baked artifacts (refineNet corpus renders,
-    render_refine_trainSet.py): distill once, serve from the file."""
+    render_refine_trainSet.py): distill once, serve from the file.
+
+    `provenance` (see distill_provenance) records the distillation AABB /
+    near-far and the identity the student encodes; loaders should prefer
+    these over environment-derived bounds."""
     import json
 
     import numpy as np
@@ -290,17 +315,22 @@ def save_student(path: str, params: Params, cfg) -> None:
     arrs = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in leaves}
     meta = dataclasses.asdict(cfg)
     meta["compute_dtype"] = jnp.dtype(cfg.compute_dtype).name
+    if provenance:
+        meta["provenance"] = provenance
     np.savez(path, __meta__=json.dumps(meta), **arrs)
 
 
-def load_student(path: str):
-    """Load a save_student artifact -> (params, StudentConfig)."""
+def load_student(path: str, with_provenance: bool = False):
+    """Load a save_student artifact -> (params, StudentConfig) or, with
+    `with_provenance`, (params, StudentConfig, provenance-dict) where the
+    dict is empty for artifacts saved without one."""
     import json
 
     import numpy as np
 
     z = np.load(path, allow_pickle=False)
     meta = json.loads(str(z["__meta__"]))
+    prov = meta.pop("provenance", {})
     meta["compute_dtype"] = jnp.dtype(meta["compute_dtype"]).type
     cfg = StudentConfig(**meta)
     template = init_point_field(jax.random.PRNGKey(0), cfg)[0]
@@ -310,9 +340,12 @@ def load_student(path: str):
         arr = z[jax.tree_util.keystr(kp)]
         assert arr.shape == tmpl.shape, (jax.tree_util.keystr(kp), arr.shape)
         leaves.append(jnp.asarray(arr))
-    return jax.tree_util.tree_unflatten(
+    params = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves
-    ), cfg
+    )
+    if with_provenance:
+        return params, cfg, prov
+    return params, cfg
 
 
 # ---------------------------------------------------------------------------

@@ -271,6 +271,38 @@ def test_student_artifact_roundtrip(tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_student_artifact_provenance(tmp_path):
+    """Artifacts record the distillation AABB/near-far + identity; loaders
+    get them back verbatim (and {} for artifacts saved without one)."""
+    from mofanerf_tpu.train.distill import (
+        DistillConfig,
+        distill_provenance,
+        load_student,
+        save_student,
+    )
+
+    cfg = StudentConfig(depth=2, width=16, multires=4,
+                        compute_dtype=jnp.float32)
+    params = init_student_params(jax.random.PRNGKey(3), cfg)
+    dcfg = DistillConfig(aabb_min=(-1.0, -2.0, -3.0), aabb_max=(1.0, 2.0, 3.0),
+                         near=4.0, far=9.0, n_steps=7)
+    prov = distill_provenance(dcfg, person=5, expression=2, avatar_ids=None)
+    path = str(tmp_path / "student.npz")
+    save_student(path, params, cfg, provenance=prov)
+    _, cfg2, prov2 = load_student(path, with_provenance=True)
+    assert cfg2 == cfg
+    assert prov2["aabb_min"] == [-1.0, -2.0, -3.0]
+    assert prov2["aabb_max"] == [1.0, 2.0, 3.0]
+    assert prov2["near"] == 4.0 and prov2["far"] == 9.0
+    assert prov2["person"] == 5 and prov2["expression"] == 2
+    assert "avatar_ids" not in prov2  # None fields are dropped
+
+    # default 2-tuple load still works, and prov-less artifacts load as {}
+    save_student(path, params, cfg)
+    p3, cfg3, prov3 = load_student(path, with_provenance=True)
+    assert prov3 == {} and cfg3 == cfg
+
+
 def test_distill_avatars_learns_identity_control():
     """Two 'avatars' (distinct shape codes driving an amplified shape
     pathway) distill into ONE student whose [shape; exp] code steers it to

@@ -60,6 +60,39 @@ def test_run_render_distill_cond_rig(tmp_path):
     assert len(os.listdir(tmp_path / "single")) >= 2
 
 
+def test_run_render_artifact_person_mismatch(tmp_path):
+    """A saved artifact records its identity; serving it for a different
+    --person errors instead of silently mixing identities (ADVICE r2)."""
+    import pytest
+
+    from mofanerf_tpu.cli.run_render import main
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=2, n_train=1, n_test=1, hw=16)
+    student = tmp_path / "student.npz"
+    argv_tail = [
+        "--n_views", "1",
+        "--render_factor", "32",
+        "--distill",
+        "--distill_steps", "2",
+        "--n_samples", "8",
+        "--student_path", str(student),
+        "--expname", "smoke",
+        "--basedir", str(tmp_path / "logs"),
+        "--datadir", str(data_dir),
+        "--uvdir", str(data_dir / "uv"),
+        "--shape_codes_path", str(data_dir / "factors_id.npy"),
+        "--netdepth", "2", "--netwidth", "8",
+        "--netdepth_fine", "2", "--netwidth_fine", "8",
+        "--N_samples", "4", "--N_importance", "4",
+        "--compute_dtype", "float32",
+    ]
+    main(["--out_dir", str(tmp_path / "a"), "--person", "0"] + argv_tail)
+    assert student.exists()
+    with pytest.raises(SystemExit, match="person"):
+        main(["--out_dir", str(tmp_path / "b"), "--person", "1"] + argv_tail)
+
+
 def test_run_render_distill_avatars_morph(tmp_path):
     """--distill_avatars renders an identity-morphing orbit through one
     multi-avatar student."""
