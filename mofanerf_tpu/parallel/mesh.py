@@ -69,21 +69,62 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Declarative tensor-parallel policy for the fine field (models/field.py
+# layout). Keys are the EXACT leaf names of hidden weight matrices [in, out]
+# and their biases; the output dim (trunk width W or view width W/2) shards
+# over 'model'. The tiny output heads stay replicated: 'alpha' (W -> 1
+# density) and the view stage's final 'rgb' dense (W/2 -> 3).
+_TP_WEIGHT_KEYS = frozenset({
+    "w",             # generic dense layers ('layers' / 'mid' / 'post' lists)
+    "w_pts", "w_exp",                     # xyz encoder input blocks
+    "w_feat0", "w_code0",                 # trunk layer 0 blocks
+    "w_skip_code", "w_skip_feat", "w_skip_h",  # trunk skip-layer blocks
+    "w_dirs", "w_feat",                   # view stage input blocks
+})
+_TP_BIAS_KEYS = frozenset({"b", "b0", "b_skip"})
+
+
+def _path_keys(path: tuple) -> list:
+    """Pytree key path -> list of dict keys / sequence indices."""
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(p.key)          # DictKey
+        elif hasattr(p, "idx"):
+            out.append(p.idx)          # SequenceKey (lists of dense layers)
+        else:                          # pragma: no cover - future key kinds
+            out.append(str(p))
+    return out
+
+
 def shard_params_rules(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Produce a NamedSharding pytree matching `params`.
 
-    Policy: fine-field hidden weights/biases shard their last (output) dim
-    over 'model'; everything else (small coarse net, codes, encoder) is
-    replicated. With n_model == 1 this degenerates to full replication.
+    Policy (declarative, by leaf NAME — not by shape heuristics): inside the
+    'fine' subtree, hidden weight matrices (`_TP_WEIGHT_KEYS`) shard their
+    output dim over 'model' and the matching biases (`_TP_BIAS_KEYS`) shard
+    over 'model'; the scalar-output heads ('alpha', the view stage's 'rgb'
+    dense) and everything outside 'fine' (small coarse net, codes, encoder)
+    replicate. Leaves whose last dim does not divide the model axis
+    replicate — sharding must never change numerics or crash on odd dims.
+    With n_model == 1 this degenerates to full replication.
     """
+    n_model = max(1, mesh.shape["model"])
 
     def spec_for(path: tuple, leaf) -> NamedSharding:
-        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        in_fine = "fine" in keys
-        if in_fine and hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[-1] % max(1, mesh.shape["model"]) == 0:
-            # shard last dim across model axis (W=1024 divides cleanly)
-            if leaf.shape[-1] >= 128:
-                return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["model"])))
+        keys = _path_keys(path)
+        if "fine" not in keys:
+            return NamedSharding(mesh, P())
+        # tiny output heads: alpha (W->1) and the view stage's rgb (W/2->3)
+        if "alpha" in keys or ("view" in keys and "rgb" in keys):
+            return NamedSharding(mesh, P())
+        leaf_key = keys[-1]
+        if not hasattr(leaf, "ndim") or leaf.shape[-1] % n_model != 0:
+            return NamedSharding(mesh, P())
+        if leaf_key in _TP_WEIGHT_KEYS and leaf.ndim == 2:
+            return NamedSharding(mesh, P(None, "model"))
+        if leaf_key in _TP_BIAS_KEYS and leaf.ndim == 1:
+            return NamedSharding(mesh, P("model"))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -92,6 +92,56 @@ def test_tensor_parallel_fine_field():
     _assert_close_modulo_sample_flips(out["rgb"], ref["rgb"])
 
 
+def test_shard_rules_exact_leaf_policy():
+    """The TP policy is declarative: under 2-way model sharding, EXACTLY the
+    fine field's hidden weight matrices / biases shard — by leaf name, not
+    by shape heuristics (VERDICT r2 #8). The tiny heads (alpha W->1, view
+    rgb W/2->3), the whole coarse net, codes, ISM, and the texture encoder
+    stay replicated."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = init_model_params(jax.random.PRNGKey(2), SPEC)
+    rules = shard_params_rules(params, mesh)
+
+    flat = jax.tree_util.tree_flatten_with_path(rules)[0]
+    sharded_paths = sorted(
+        jax.tree_util.keystr(kp) for kp, s in flat if s.spec != P()
+    )
+    # every sharded leaf lives under 'fine'
+    assert all(p.startswith("['fine']") for p in sharded_paths), sharded_paths
+
+    def expect_trunk(name):
+        out = [f"['fine']['{name}']['b0']", f"['fine']['{name}']['b_skip']",
+               f"['fine']['{name}']['w_code0']", f"['fine']['{name}']['w_feat0']",
+               f"['fine']['{name}']['w_skip_code']",
+               f"['fine']['{name}']['w_skip_feat']",
+               f"['fine']['{name}']['w_skip_h']"]
+        for lst in ("mid", "post"):
+            n = len(SPEC.fine.__class__ and params["fine"][name][lst])
+            for i in range(n):
+                out += [f"['fine']['{name}']['{lst}'][{i}]['b']",
+                        f"['fine']['{name}']['{lst}'][{i}]['w']"]
+        return out
+
+    expected = (
+        ["['fine']['xyz']['b']", "['fine']['xyz']['w_exp']",
+         "['fine']['xyz']['w_pts']"]
+        + [f"['fine']['xyz']['layers'][{i}]['b']" for i in range(3)]
+        + [f"['fine']['xyz']['layers'][{i}]['w']" for i in range(3)]
+        + expect_trunk("sigma") + expect_trunk("rgb")
+        + ["['fine']['view']['b']", "['fine']['view']['w_dirs']",
+           "['fine']['view']['w_feat']"]
+    )
+    assert sharded_paths == sorted(expected), (
+        set(sharded_paths) ^ set(expected)
+    )
+    # weight matrices shard the OUTPUT dim; biases shard their only dim
+    assert rules["fine"]["sigma"]["w_feat0"].spec == P(None, "model")
+    assert rules["fine"]["sigma"]["b0"].spec == P("model")
+    # heads replicate
+    assert rules["fine"]["sigma"]["alpha"]["w"].spec == P()
+    assert rules["fine"]["view"]["rgb"]["w"].spec == P()
+
+
 def test_render_frame_sharded_matches_single():
     from mofanerf_tpu.render.renderer import render_frame, render_frame_sharded
     from mofanerf_tpu.ops.rays import pose_spherical
