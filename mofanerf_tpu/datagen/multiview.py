@@ -58,14 +58,17 @@ def write_transforms_json(
 
 def render_identity(
     pid: int,
-    meshes_by_exp: Dict[int, tuple],   # exp -> (verts, faces), aligned + clipped
+    meshes_by_exp: Dict[int, tuple],   # exp -> (verts, faces[, face_albedo])
     out_dir: str,
     n_holdout: int = 20,
     seed: int = 0,
     res: int = RES,
+    view_stride: int = 1,
 ) -> None:
     """Render all expressions of one identity and write split JSONs.
-    Resumable: skips when the identity's train JSON already exists."""
+    Resumable: skips when the identity's train JSON already exists.
+    `view_stride` subsamples the 120-view camera grid (every k-th view) for
+    cheaper synthetic studies."""
     import imageio.v2 as imageio
 
     if os.path.exists(os.path.join(out_dir, f"transforms_train_{pid}.json")):
@@ -77,15 +80,18 @@ def render_identity(
     rng = np.random.default_rng(seed + pid)
     K = np.array([[FOCAL * res / RES, 0, res / 2],
                   [0, FOCAL * res / RES, res / 2], [0, 0, 1]])
-    poses = camera_grid()
+    poses = camera_grid()[:: max(1, view_stride)]
     frames: Dict[str, List[dict]] = {"train": [], "val": [], "test": []}
 
-    for exp, (verts, faces) in sorted(meshes_by_exp.items()):
+    for exp, mesh in sorted(meshes_by_exp.items()):
+        verts, faces = mesh[0], mesh[1]
+        albedo = mesh[2] if len(mesh) > 2 else None
         holdout = set(rng.choice(len(poses), size=min(n_holdout, len(poses)),
                                  replace=False).tolist())
         val_set = set(list(holdout)[: len(holdout) // 2])
         for vi, c2w in enumerate(poses):
-            rgb, _, mask = rasterize_mesh(verts, faces, K, c2w, res, res)
+            rgb, _, mask = rasterize_mesh(verts, faces, K, c2w, res, res,
+                                          face_albedo=albedo)
             rel = f"{pid}/{exp}_{vi:03d}"
             rgba = np.concatenate([rgb, mask[..., None].astype(np.float32)], axis=-1)
             imageio.imwrite(

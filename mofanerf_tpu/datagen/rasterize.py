@@ -93,12 +93,15 @@ def rasterize_mesh(
     base_color=(0.75, 0.65, 0.6),
     ambient: float = 0.25,
     tile: int = 24,
+    face_albedo: np.ndarray | None = None,
 ):
     """Flat-shaded render. Returns (rgb [H,W,3] float, depth [H,W], mask).
 
     Shading: lambertian against a headlight-style directional light in
     CAMERA space (matches the reference's directional-light flat shading,
-    render.py:56-62)."""
+    render.py:56-62). `face_albedo` [F, 3] overrides the uniform
+    `base_color` with a per-face albedo (textured meshes, e.g. the
+    synthetic face family in datagen/synthetic_faces.py)."""
     verts = np.asarray(verts, np.float64)
     faces = np.asarray(faces, np.int32)
     R = np.asarray(c2w)[:3, :3]
@@ -112,7 +115,12 @@ def rasterize_mesh(
     l = l / np.linalg.norm(l)
     lam = np.abs(n @ l)
     shade = np.clip(ambient + (1 - ambient) * lam, 0, 1)
-    colors = shade[:, None] * np.asarray(base_color)[None, :]
+    if face_albedo is not None:
+        albedo = np.asarray(face_albedo, np.float64)
+        assert albedo.shape == (faces.shape[0], 3), albedo.shape
+    else:
+        albedo = np.broadcast_to(np.asarray(base_color, np.float64), (faces.shape[0], 3))
+    colors = shade[:, None] * albedo
 
     img, depth, mask = _rasterize(
         jnp.asarray(verts_cam, jnp.float32),

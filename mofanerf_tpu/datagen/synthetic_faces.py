@@ -1,0 +1,330 @@
+"""Procedural face-family generator: parameterized head geometry + albedo.
+
+FaceScape is license-gated (SURVEY.md section 7 "Parity validation without
+FaceScape"), so the morphable capability — ONE model spanning many
+identities x expressions through conditioning codes (the reference's entire
+point: run_train.py:114-116, configs/exp_mofanerf.txt person_num=300) — is
+demonstrated on a procedurally generated family of face-LIKE heads:
+
+- Each identity is a point `p` in a 10-dim parameter space controlling head
+  proportions, nose, eyes, mouth, cheeks, brow, and skin tone. The identity
+  parameters ARE the first dims of the 50-dim shape code, so the
+  code -> geometry map is smooth by construction and identity interpolation
+  sweeps are meaningful (the analog of FaceScape's bilinear identity
+  factors, factors_id.npy).
+- Expressions are shared deformation triples (jaw-open, smile, brow-raise)
+  applied on top of any identity — the analog of FaceScape's 20 expression
+  scans driving the learned expression latents.
+- Geometry: a lat-long sphere displaced by anisotropic angular Gaussian
+  features; albedo: skin tone + lip/eye/brow recoloring from the same
+  feature masks; the UV texture map is the spherical unwrap of that albedo
+  (so the texture encoder sees a per-identity image whose content actually
+  predicts the rendered colors).
+- 68 approximate landmarks per (identity, expression) in the standard
+  jaw/brow/nose/eyes/mouth layout feed the landmark-biased ray sampler
+  (reference run_train.py:119-148).
+
+Everything is numpy host-side data production (datagen layer); rendering
+goes through the JAX software rasterizer (datagen/rasterize.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+N_ID_PARAMS = 10
+SHAPE_CODE_DIM = 50
+
+# Expression id -> (jaw_open, smile, brow_raise), matching the reference's
+# FaceScape expression-id semantics where applicable
+# (data/facescape.py EXPRESSION_NAMES: 0=neutral, 1=smile, 2=mouth_stretch,
+# 18=brow_raiser).
+EXPRESSION_PARAMS: Dict[int, Tuple[float, float, float]] = {
+    0: (0.0, 0.0, 0.0),     # neutral
+    1: (0.15, 1.0, 0.35),   # smile
+    2: (1.0, 0.0, 0.15),    # mouth_stretch (jaw open)
+    18: (0.0, 0.1, 1.0),    # brow_raiser
+}
+
+_HEAD_RADIUS = 2.0  # world units (head diameter ~4 = 200 mm / 50, the
+                    # reference world scale, run_fit.py:142 scale=50)
+
+
+def sample_identity_params(n: int, seed: int = 0) -> np.ndarray:
+    """[n, N_ID_PARAMS] identity parameters, U(-1, 1)."""
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1.0, 1.0, (n, N_ID_PARAMS)).astype(np.float32)
+
+
+def shape_code_from_params(p: np.ndarray) -> np.ndarray:
+    """Identity params -> 50-dim shape code (params occupy the leading
+    dims; the rest are zero). Linear, so code interpolation == parameter
+    interpolation."""
+    p = np.asarray(p, np.float32)
+    code = np.zeros(p.shape[:-1] + (SHAPE_CODE_DIM,), np.float32)
+    code[..., : p.shape[-1]] = p
+    return code
+
+
+def _gauss(a, a0, wa, b, b0, wb):
+    """Anisotropic angular Gaussian on (azimuth a, elevation b)."""
+    return np.exp(-0.5 * (((a - a0) / wa) ** 2 + ((b - b0) / wb) ** 2))
+
+
+def _feature_fields(a: np.ndarray, b: np.ndarray, p: np.ndarray, e) -> dict:
+    """Evaluate the displacement + color-mask fields at angular coords.
+
+    a: azimuth about +y measured from +z (front), b: elevation.
+    p: [N_ID_PARAMS]; e: (jaw_open, smile, brow_raise).
+    Returns dict with 'bump' (radial multiplier delta) and per-feature
+    color masks."""
+    jaw, smile, brow_raise = e
+
+    nose = _gauss(a, 0.0, 0.22 * (1 + 0.3 * p[4]), b, -0.08, 0.26)
+    eye_sp = 0.42 * (1 + 0.25 * p[6])
+    eyes = _gauss(a, eye_sp, 0.16, b, 0.30, 0.12) + _gauss(a, -eye_sp, 0.16, b, 0.30, 0.12)
+    mouth_w = 0.34 * (1 + 0.25 * p[7]) + 0.14 * smile
+    mouth_h = 0.10 + 0.14 * jaw
+    mouth = _gauss(a, 0.0, mouth_w, b, -0.50, mouth_h)
+    corners = (_gauss(a, mouth_w, 0.10, b, -0.46, 0.08)
+               + _gauss(a, -mouth_w, 0.10, b, -0.46, 0.08))
+    brow_b = 0.50 + 0.05 * brow_raise
+    brows = (_gauss(a, eye_sp, 0.22, b, brow_b, 0.07)
+             + _gauss(a, -eye_sp, 0.22, b, brow_b, 0.07))
+    cheeks = (_gauss(a, 0.70, 0.26, b, -0.12, 0.22)
+              + _gauss(a, -0.70, 0.26, b, -0.12, 0.22))
+    chin = _gauss(a, 0.0, 0.30, b, -0.95, 0.28)
+
+    bump = (
+        0.30 * (1 + 0.40 * p[3]) * nose
+        - 0.10 * (1 + 0.50 * p[5]) * eyes
+        - (0.07 + 0.18 * jaw) * mouth
+        + 0.10 * smile * corners
+        + 0.06 * (1 + 0.6 * p[9] + 1.4 * brow_raise) * brows
+        + 0.09 * (0.5 + 0.5 * p[8]) * cheeks
+        + (0.06 + 0.16 * jaw) * chin
+    )
+    return {"bump": bump, "nose": nose, "eyes": eyes, "mouth": mouth,
+            "brows": brows, "cheeks": cheeks}
+
+
+def _albedo_at(a: np.ndarray, b: np.ndarray, p: np.ndarray, e) -> np.ndarray:
+    """Per-point RGB albedo from the feature masks: identity skin tone with
+    lip / eye / brow recoloring."""
+    f = _feature_fields(a, b, p, e)
+    skin = np.array([
+        0.72 + 0.08 * p[0], 0.55 + 0.07 * p[1], 0.45 + 0.06 * p[2]
+    ], np.float32)
+    albedo = np.broadcast_to(skin, a.shape + (3,)).copy()
+
+    def mix(mask, color, strength=1.0):
+        w = np.clip(mask * strength, 0.0, 1.0)[..., None]
+        return (1 - w) * albedo + w * np.asarray(color, np.float32)
+
+    albedo = mix(f["mouth"], (0.62 + 0.1 * p[7], 0.25, 0.28), 1.2)
+    albedo = mix(f["eyes"], (0.16, 0.22, 0.30 + 0.1 * p[5]), 1.4)
+    albedo = mix(f["brows"], (0.25 + 0.1 * p[9], 0.17, 0.12), 1.2)
+    albedo = mix(f["cheeks"] * 0.4, (0.80, 0.45, 0.42), 0.8)
+    return np.clip(albedo, 0.0, 1.0)
+
+
+def _sphere_topology(n_lat: int, n_lon: int):
+    """Lat-long grid + polar caps. Returns (dirs [V,3], faces [F,3],
+    (a, b) angular coords [V])."""
+    us = np.linspace(0.0, np.pi, n_lat + 2)[1:-1]          # polar angle
+    vs = np.linspace(-np.pi, np.pi, n_lon, endpoint=False)  # azimuth from +z
+    uu, vv = np.meshgrid(us, vs, indexing="ij")             # [n_lat, n_lon]
+    y = np.cos(uu)
+    x = np.sin(uu) * np.sin(vv)
+    z = np.sin(uu) * np.cos(vv)
+    dirs = np.stack([x, y, z], -1).reshape(-1, 3)
+    # poles
+    dirs = np.concatenate([dirs, [[0, 1, 0]], [[0, -1, 0]]], 0)
+    top, bot = n_lat * n_lon, n_lat * n_lon + 1
+
+    def vid(i, j):
+        return i * n_lon + (j % n_lon)
+
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            q = (vid(i, j), vid(i, j + 1), vid(i + 1, j + 1), vid(i + 1, j))
+            faces.append((q[0], q[2], q[1]))
+            faces.append((q[0], q[3], q[2]))
+    for j in range(n_lon):  # polar fans
+        faces.append((top, vid(0, j), vid(0, j + 1)))
+        faces.append((bot, vid(n_lat - 1, j + 1), vid(n_lat - 1, j)))
+    faces = np.asarray(faces, np.int32)
+
+    b = np.arcsin(np.clip(dirs[:, 1], -1, 1))       # elevation
+    a = np.arctan2(dirs[:, 0], dirs[:, 2])          # azimuth from +z (front)
+    return dirs.astype(np.float64), faces, (a, b)
+
+
+def face_mesh(
+    p: np.ndarray,
+    expression: int = 0,
+    n_lat: int = 64,
+    n_lon: int = 96,
+):
+    """Build one (identity, expression) head mesh.
+
+    Returns (verts [V,3] float64 world units, faces [F,3] int32,
+    face_albedo [F,3] float32). Nose points toward +z (the frontal camera
+    of pose_spherical(0, 0, r), ops/rays.py:104-119); y is up."""
+    p = np.asarray(p, np.float64)
+    assert p.shape == (N_ID_PARAMS,), p.shape
+    e = EXPRESSION_PARAMS.get(int(expression), EXPRESSION_PARAMS[0])
+
+    dirs, faces, (a, b) = _sphere_topology(n_lat, n_lon)
+    f = _feature_fields(a, b, p, e)
+    radius = _HEAD_RADIUS * (1.0 + f["bump"])
+    scale = np.array([
+        1.0 + 0.18 * p[0],
+        1.06 + 0.20 * p[1] + 0.04 * e[0],   # jaw-open elongates the head
+        1.0 + 0.15 * p[2],
+    ])
+    verts = dirs * radius[:, None] * scale[None, :]
+
+    vert_albedo = _albedo_at(a, b, p, e)
+    face_albedo = vert_albedo[faces].mean(axis=1).astype(np.float32)
+    return verts, faces, face_albedo
+
+
+def face_uv_map(p: np.ndarray, expression: int = 0, size: int = 512) -> np.ndarray:
+    """Spherical-unwrap albedo texture [size, size, 3] float in [0,1] —
+    the identity's UV map (the reference feeds textureMap300/{id}/
+    1_neutral.jpg to the texture encoder, run_train.py:18-22). Content is
+    the SAME albedo function that colors the rasterized GT, so the texture
+    code genuinely predicts rendered appearance."""
+    p = np.asarray(p, np.float64)
+    e = EXPRESSION_PARAMS.get(int(expression), EXPRESSION_PARAMS[0])
+    a = np.linspace(-np.pi, np.pi, size)
+    b = np.linspace(np.pi / 2, -np.pi / 2, size)
+    bb, aa = np.meshgrid(b, a, indexing="ij")
+    return _albedo_at(aa, bb, p, e).astype(np.float32)
+
+
+# 68-landmark layout: (azimuth, elevation) anchors in the standard
+# jaw(17) / brows(10) / nose(9) / eyes(12) / mouth(20) order.
+def _landmark_angles(p: np.ndarray, e) -> np.ndarray:
+    eye_sp = 0.42 * (1 + 0.25 * p[6])
+    mouth_w = 0.34 * (1 + 0.25 * p[7]) + 0.14 * e[1]
+    brow_b = 0.50 + 0.05 * e[2]
+    pts = []
+    # jawline: arc from left ear to right ear through the chin
+    for t in np.linspace(-1.0, 1.0, 17):
+        pts.append((1.2 * t, -0.55 - 0.40 * (1 - t * t)))
+    for side in (-1, 1):  # brows: 5 each
+        for t in np.linspace(-0.20, 0.20, 5):
+            pts.append((side * eye_sp + t, brow_b))
+    for t in np.linspace(0.10, -0.25, 4):  # nose bridge
+        pts.append((0.0, t))
+    for t in np.linspace(-0.28, 0.28, 5):  # nostril line
+        pts.append((t * 0.8, -0.30))
+    for side in (-1, 1):  # eyes: 6 each
+        for k in range(6):
+            ang = 2 * np.pi * k / 6
+            pts.append((side * eye_sp + 0.13 * np.cos(ang), 0.30 + 0.07 * np.sin(ang)))
+    for k in range(12):  # outer lip ellipse
+        ang = 2 * np.pi * k / 12
+        pts.append((mouth_w * np.cos(ang), -0.50 + (0.10 + 0.08 * e[0]) * np.sin(ang)))
+    for k in range(8):  # inner lip ellipse
+        ang = 2 * np.pi * k / 8
+        pts.append((0.6 * mouth_w * np.cos(ang), -0.50 + 0.05 * np.sin(ang)))
+    return np.asarray(pts, np.float64)  # [68, 2]
+
+
+def face_landmarks(p: np.ndarray, expression: int = 0) -> np.ndarray:
+    """[68, 3] world-space landmarks on the displaced surface."""
+    p = np.asarray(p, np.float64)
+    e = EXPRESSION_PARAMS.get(int(expression), EXPRESSION_PARAMS[0])
+    ab = _landmark_angles(p, e)
+    a, b = ab[:, 0], ab[:, 1]
+    f = _feature_fields(a, b, p, e)
+    radius = _HEAD_RADIUS * (1.0 + f["bump"])
+    y = np.sin(b)
+    x = np.cos(b) * np.sin(a)
+    z = np.cos(b) * np.cos(a)
+    dirs = np.stack([x, y, z], -1)
+    scale = np.array([1.0 + 0.18 * p[0], 1.06 + 0.20 * p[1] + 0.04 * e[0],
+                      1.0 + 0.15 * p[2]])
+    return (dirs * radius[:, None] * scale[None, :]).astype(np.float32)
+
+
+def make_face_dataset(
+    out_dir: str,
+    n_ids: int = 8,
+    exp_ids: Sequence[int] = (0, 1, 2),
+    res: int = 128,
+    seed: int = 0,
+    n_workers: int = 1,
+    view_stride: int = 1,
+    n_holdout: int = 20,
+    n_lat: int = 64,
+    n_lon: int = 96,
+) -> np.ndarray:
+    """Produce a full FaceScape-format multiview dataset of the synthetic
+    face family: per-id split JSONs + images (datagen/multiview.py), UV
+    maps under uv/{id}/1_neutral.jpg, factors_id.npy shape codes,
+    landmarks.npy [n, 20, 68, 3] (x50: the train loop divides by the world
+    scale, run_train.py:121), and face_params.npy (the ground-truth
+    identity parameters, for studies). Returns the [n_ids, N_ID_PARAMS]
+    parameter matrix. Resumable per identity."""
+    import imageio.v2 as imageio
+
+    from mofanerf_tpu.datagen.multiview import render_identities_parallel
+
+    os.makedirs(out_dir, exist_ok=True)
+    params = sample_identity_params(n_ids, seed)
+
+    loader = _FaceMeshLoader(params, tuple(exp_ids), n_lat, n_lon)
+    render_identities_parallel(
+        list(range(n_ids)), loader, out_dir, n_workers=n_workers,
+        res=res, view_stride=view_stride, n_holdout=n_holdout, seed=seed,
+    )
+
+    uvdir = os.path.join(out_dir, "uv")
+    for pid in range(n_ids):
+        d = os.path.join(uvdir, str(pid))
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "1_neutral.jpg")
+        if not os.path.exists(path):
+            uv = face_uv_map(params[pid], 0, size=256)
+            imageio.imwrite(path, (uv * 255).astype(np.uint8))
+
+    n_rows = max(300, n_ids)  # reference layout: factors_id.npy is [300, 50]
+    codes = np.zeros((n_rows, SHAPE_CODE_DIM), np.float32)
+    codes[:n_ids] = shape_code_from_params(params)
+    np.save(os.path.join(out_dir, "factors_id.npy"), codes)
+
+    lms = np.zeros((n_rows, 20, 68, 3), np.float32)
+    for pid in range(n_ids):
+        for exp in range(20):
+            lms[pid, exp] = face_landmarks(
+                params[pid], exp if exp in EXPRESSION_PARAMS else 0)
+    np.save(os.path.join(out_dir, "landmarks.npy"), lms * 50.0)
+
+    np.save(os.path.join(out_dir, "face_params.npy"), params)
+    with open(os.path.join(out_dir, "family.json"), "w") as f:
+        json.dump({"n_ids": n_ids, "exp_ids": list(map(int, exp_ids)),
+                   "res": res, "seed": seed, "view_stride": view_stride},
+                  f)
+    return params
+
+
+class _FaceMeshLoader:
+    """Picklable mesh loader for the multiprocessing fan-out."""
+
+    def __init__(self, params, exp_ids, n_lat, n_lon):
+        self.params, self.exp_ids = params, exp_ids
+        self.n_lat, self.n_lon = n_lat, n_lon
+
+    def __call__(self, pid: int):
+        return {
+            exp: face_mesh(self.params[pid], exp, self.n_lat, self.n_lon)
+            for exp in self.exp_ids
+        }

@@ -1,4 +1,5 @@
 import json
+import os
 
 import numpy as np
 
@@ -134,3 +135,79 @@ def test_loadable_by_facescape_loader(tmp_path):
     ds = load_facescape_data(str(tmp_path), [0], shape_codes, testskip=1)
     assert len(ds.image_paths) == 120
     assert ds.hwf[0] == 32
+
+
+# ---------------------------------------------------------------------------
+# Procedural face family (datagen/synthetic_faces.py)
+# ---------------------------------------------------------------------------
+
+def test_face_mesh_shapes_and_finiteness():
+    from mofanerf_tpu.datagen.synthetic_faces import face_mesh, sample_identity_params
+
+    p = sample_identity_params(1, seed=3)[0]
+    v, f, alb = face_mesh(p, 0, n_lat=16, n_lon=24)
+    assert v.shape == (16 * 24 + 2, 3) and np.isfinite(v).all()
+    assert f.shape == ((16 - 1) * 24 * 2 + 2 * 24, 3)
+    assert alb.shape == (f.shape[0], 3)
+    assert (alb >= 0).all() and (alb <= 1).all()
+    # head is ~4 world units across, centered near origin
+    assert 1.2 < np.abs(v).max() < 4.0
+
+
+def test_face_identity_and_expression_control():
+    """Different identity params and different expressions must change the
+    rendered image (the conditioning signal the morphable study trains on)."""
+    from mofanerf_tpu.datagen.rasterize import rasterize_mesh
+    from mofanerf_tpu.datagen.synthetic_faces import face_mesh, sample_identity_params
+    from mofanerf_tpu.ops.rays import pose_spherical
+
+    res = 64
+    K = np.array([[1200.0 * res / 512, 0, res / 2],
+                  [0, 1200.0 * res / 512, res / 2], [0, 0, 1]])
+    c2w = pose_spherical(0.0, 0.0, 16.0)
+    ps = sample_identity_params(2, seed=0)
+
+    def render(p, exp):
+        v, f, alb = face_mesh(p, exp, n_lat=24, n_lon=32)
+        rgb, _, _ = rasterize_mesh(v, f, K, c2w, res, res, face_albedo=alb)
+        return rgb
+
+    base = render(ps[0], 0)
+    other_id = render(ps[1], 0)
+    jaw = render(ps[0], 2)
+    assert np.abs(base - other_id).mean() > 0.01, "identities indistinct"
+    assert np.abs(base - jaw).mean() > 0.003, "expressions indistinct"
+    # smooth parameter interpolation -> intermediate geometry
+    mid = render((ps[0] + ps[1]) / 2, 0)
+    d_direct = np.abs(base - other_id).mean()
+    assert np.abs(base - mid).mean() < d_direct, "interpolation not intermediate"
+
+
+def test_make_face_dataset_layout(tmp_path):
+    """The generated family loads through the canonical FaceScape loader
+    with codes == identity params and usable landmarks."""
+    from mofanerf_tpu.data.facescape import load_facescape_data, load_shape_codes
+    from mofanerf_tpu.datagen.synthetic_faces import make_face_dataset
+
+    params = make_face_dataset(
+        str(tmp_path), n_ids=2, exp_ids=(0, 2), res=32, seed=1,
+        view_stride=12, n_holdout=4, n_lat=12, n_lon=16,
+    )
+    assert params.shape == (2, 10)
+    codes = load_shape_codes(str(tmp_path / "factors_id.npy"))
+    assert codes.shape[0] >= 300
+    np.testing.assert_allclose(codes[:2, :10], params, atol=1e-6)
+    assert np.abs(codes[:2, 10:]).max() == 0
+
+    ds = load_facescape_data(str(tmp_path), [0, 1], codes,
+                             uvdir=str(tmp_path / "uv"), testskip=1)
+    # 2 ids x 2 exps x 10 views
+    assert len(ds.image_paths) == 2 * 2 * 10
+    assert set(np.unique(ds.exp_types)) == {0, 2}
+    assert all(os.path.exists(p) for p in ds.uv_paths.values())
+
+    lms = np.load(tmp_path / "landmarks.npy")
+    assert lms.shape == (300, 20, 68, 3)
+    # landmarks live on the head (world units after /50)
+    r = np.linalg.norm(lms[0, 0] / 50.0, axis=-1)
+    assert (r > 1.0).all() and (r < 4.0).all()
