@@ -35,6 +35,7 @@ SLOW_TESTS = {
     "test_fit.py::test_fit_loop_e2e",
     "test_fit.py::test_fit_step_optimizes_codes_not_model",
     "test_fit.py::test_fit_step_static_shape_across_pyramid_levels",
+    "test_convert_checkpoint.py::test_full_checkpoint_roundtrip_render_parity",
     "test_field.py::test_param_count_reference_dims",
     "test_misc.py::test_nan_guard_skips_bad_step",
     "test_occupancy.py::test_frame_fast_budget_clamped_to_ray_count",
