@@ -1,0 +1,290 @@
+"""Morphable capability at FLAGSHIP dims: one 8x256 + 10x1024 model over a
+family of synthetic identities x expressions, measured.
+
+The reference's defining capability is ONE model conditioned over 300
+identities x 20 expressions (run_train.py:114-116, configs/
+exp_mofanerf.txt person_num=300). FaceScape is license-gated, so this study
+trains the reference-dims model on the procedural face family
+(datagen/synthetic_faces.py — identity params ARE the leading shape-code
+dims) through the real `train()` driver, then measures:
+
+- held-out per-identity PSNR + SSIM (own codes, test views),
+- cross-identity leakage (render id A's camera with id B's codes — must be
+  much worse than own),
+- identity interpolation: render at lerp(code_A, code_B, t) and compare to
+  the GROUND-TRUTH interpolated face (the generator is linear in the
+  params, so the true intermediate face exists and can be rasterized),
+- expression control: held-out views across the trained expression bank.
+
+Writes artifacts/morphable_flagship.json + gallery PNGs.
+
+Usage:
+  python scratch/gen_faces.py                       # once: the dataset
+  python examples/morphable_flagship.py --stage train --iters 40000
+  python examples/morphable_flagship.py --stage eval
+CPU smoke: --small --res 32 runs toy dims end-to-end.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_config(args) -> "Config":
+    from mofanerf_tpu.config import Config
+
+    cfg = Config(
+        expname=args.expname,
+        basedir=args.basedir,
+        datadir=args.data,
+        uvdir=os.path.join(args.data, "uv"),
+        shape_codes_path=os.path.join(args.data, "factors_id.npy"),
+        landmarks_path=os.path.join(args.data, "landmarks.npy"),
+        person_num=args.n_ids,
+        n_iters=args.iters,
+        testskip=1,
+        i_print=200,
+        i_weights=args.i_weights,
+        i_testset=args.i_testset,
+        i_video=10 ** 9,
+        i_grid=500,
+        compute_dtype=args.compute_dtype,
+    )
+    if args.small:  # CPU smoke tier
+        cfg = dataclasses.replace(
+            cfg, netdepth=2, netwidth=16, netdepth_fine=2, netwidth_fine=32,
+            N_samples=8, N_importance=8, N_rand=128, packet_size=1024,
+            precrop_iters=10, lm_frac_anneal_iters=20, i_print=10,
+            i_grid=0, compute_dtype="float32", lrate=5e-4,
+        )
+    return cfg
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default="studydata/faces8")
+    p.add_argument("--basedir", default="studydata/logs")
+    p.add_argument("--expname", default="morphable_flagship")
+    p.add_argument("--n_ids", type=int, default=8)
+    p.add_argument("--iters", type=int, default=40000)
+    p.add_argument("--i_weights", type=int, default=5000)
+    p.add_argument("--i_testset", type=int, default=5000)
+    p.add_argument("--stage", choices=["train", "eval", "all"], default="all")
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--small", action="store_true", help="toy dims (CPU smoke)")
+    p.add_argument("--res", type=int, default=0,
+                   help="eval GT raster resolution override (0 = dataset res)")
+    p.add_argument("--out_json", default="artifacts/morphable_flagship.json")
+    p.add_argument("--n_test_views", type=int, default=4)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = build_config(args)
+    if args.stage in ("train", "all"):
+        from mofanerf_tpu.train.loop import train
+
+        train(cfg, n_iters=args.iters)
+    if args.stage in ("eval", "all"):
+        evaluate(args, cfg)
+
+
+def evaluate(args, cfg) -> None:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import imageio.v2 as imageio
+
+    from mofanerf_tpu.data.facescape import (
+        load_facescape_data, load_shape_codes, read_image,
+    )
+    from mofanerf_tpu.datagen.rasterize import rasterize_mesh
+    from mofanerf_tpu.datagen.synthetic_faces import face_mesh
+    from mofanerf_tpu.render.renderer import (
+        encode_texture, exp_code_for, prepare_conditioning, render_frame,
+    )
+    from mofanerf_tpu.train.checkpoint import latest_step, restore_checkpoint
+    from mofanerf_tpu.train.state import create_train_state
+    from mofanerf_tpu.utils.metrics import img2mse, mse2psnr, ssim as ssim_fn, to8b
+
+    spec = cfg.model_spec()
+    exp_dir = os.path.join(cfg.basedir, cfg.expname)
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    state = create_train_state(jax.random.PRNGKey(0), spec)
+    step = latest_step(ckpt_dir)
+    assert step is not None, f"no checkpoint under {ckpt_dir}"
+    state = restore_checkpoint(ckpt_dir, state)
+    params = state.params
+    print(f"eval at step {int(state.step)}")
+
+    persons = list(range(args.n_ids))
+    codes = load_shape_codes(cfg.shape_codes_path)
+    ds = load_facescape_data(cfg.datadir, persons, codes, uvdir=cfg.uvdir,
+                             testskip=1)
+    H, W, focal = ds.hwf
+    K = jnp.asarray(np.array(
+        [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32))
+    face_params = np.load(os.path.join(cfg.datadir, "face_params.npy"))
+
+    def psnr(a, b):
+        return float(mse2psnr(img2mse(jnp.asarray(a), jnp.asarray(b))))
+
+    def ssim(a, b):
+        return float(ssim_fn(jnp.asarray(a), jnp.asarray(b)))
+
+    tex_codes, conds = {}, {}
+    for pid in persons:
+        uv = read_image(ds.uv_paths[pid], is_uvmap=True, uv_size=spec.uv_size)
+        tex_codes[pid] = encode_texture(params, spec, jnp.asarray(uv))
+
+    def cond_for(pid, exp):
+        key = (pid, exp)
+        if key not in conds:
+            conds[key] = prepare_conditioning(
+                params, spec, jnp.asarray(codes[pid]),
+                exp_code_for(params, exp), tex_codes[pid])
+        return conds[key]
+
+    render = jax.jit(lambda c, pose: render_frame(
+        params, spec, c, H, W, K, pose)["rgb"])
+
+    rng = np.random.default_rng(0)
+    test_idx = {}  # pid -> test frame indices
+    for i in ds.i_split[2]:
+        test_idx.setdefault(int(ds.id_codes[i]), []).append(int(i))
+
+    # ---- 1. held-out per-identity quality (own codes)
+    per_identity = {}
+    gallery = []
+    for pid in persons:
+        picks = rng.choice(test_idx[pid], size=min(args.n_test_views,
+                                                   len(test_idx[pid])),
+                           replace=False)
+        ps_, ss_ = [], []
+        for i in picks:
+            gt = read_image(ds.image_paths[i])
+            out = np.asarray(render(cond_for(pid, int(ds.exp_types[i])),
+                                    jnp.asarray(ds.poses[i][:3])))
+            ps_.append(psnr(out, gt))
+            ss_.append(ssim(out, gt))
+        per_identity[pid] = {
+            "psnr": float(np.mean(ps_)), "ssim": float(np.mean(ss_)),
+            "n_views": len(picks),
+        }
+        print(f"id {pid}: held-out PSNR {per_identity[pid]['psnr']:.2f} dB "
+              f"SSIM {per_identity[pid]['ssim']:.3f}")
+        i0 = picks[0]
+        gt = read_image(ds.image_paths[i0])
+        out = np.asarray(render(cond_for(pid, int(ds.exp_types[i0])),
+                                jnp.asarray(ds.poses[i0][:3])))
+        gallery.append(np.concatenate([gt, np.clip(out, 0, 1)], axis=0))
+
+    os.makedirs(os.path.dirname(args.out_json) or ".", exist_ok=True)
+    imageio.imwrite(os.path.join(os.path.dirname(args.out_json),
+                                 "morphable_flagship_gallery.png"),
+                    to8b(np.concatenate(gallery, axis=1)))
+
+    # ---- 2. cross-identity leakage: id A's held-out camera, id B's codes
+    cross = []
+    for ai in range(min(4, len(persons))):
+        a = persons[ai]
+        b = persons[(ai + 1) % len(persons)]
+        i = test_idx[a][0]
+        gt = read_image(ds.image_paths[i])
+        out_b = np.asarray(render(cond_for(b, int(ds.exp_types[i])),
+                                  jnp.asarray(ds.poses[i][:3])))
+        cross.append({"own_id": a, "other_id": b,
+                      "own_psnr": per_identity[a]["psnr"],
+                      "cross_psnr": psnr(out_b, gt)})
+        print(f"leakage {a}<-{b}: own {cross[-1]['own_psnr']:.2f} vs "
+              f"cross {cross[-1]['cross_psnr']:.2f} dB")
+
+    # ---- 3. identity interpolation vs ground-truth intermediate faces
+    a_pid, b_pid = persons[0], persons[1]
+    frontal_i = test_idx[a_pid][0]
+    pose = jnp.asarray(ds.poses[frontal_i][:3])
+    res = args.res or H
+    Kr = np.asarray(K) * (res / H)
+    Kr[2, 2] = 1.0
+    interp = []
+    strip = []
+    for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+        p_t = (1 - t) * face_params[a_pid] + t * face_params[b_pid]
+        code_t = (1 - t) * codes[a_pid] + t * codes[b_pid]
+        tex_t = (1 - t) * tex_codes[a_pid] + t * tex_codes[b_pid]
+        v, f, alb = face_mesh(p_t, int(ds.exp_types[frontal_i]))
+        gt_t, _, _ = rasterize_mesh(v, f, Kr, np.asarray(ds.poses[frontal_i]),
+                                    res, res, face_albedo=alb)
+        c_t = prepare_conditioning(
+            params, spec, jnp.asarray(code_t),
+            exp_code_for(params, int(ds.exp_types[frontal_i])), tex_t)
+        out_t = np.asarray(render(c_t, pose))
+        if res != H:
+            import cv2
+
+            out_t = cv2.resize(out_t, (res, res), interpolation=cv2.INTER_AREA)
+        interp.append({"t": t, "psnr_vs_gt_interp": psnr(out_t, gt_t),
+                       "ssim_vs_gt_interp": ssim(out_t, gt_t)})
+        strip.append(np.concatenate([gt_t, np.clip(out_t, 0, 1)], axis=0))
+        print(f"interp t={t}: {interp[-1]['psnr_vs_gt_interp']:.2f} dB vs "
+              "true intermediate face")
+    imageio.imwrite(os.path.join(os.path.dirname(args.out_json),
+                                 "morphable_flagship_interp.png"),
+                    to8b(np.concatenate(strip, axis=1)))
+
+    # ---- 4. expression control on a held-out identity view
+    expr = []
+    for exp in sorted(set(int(e) for e in ds.exp_types)):
+        matches = [i for i in test_idx[a_pid] if int(ds.exp_types[i]) == exp]
+        if not matches:
+            continue
+        i = matches[0]
+        gt = read_image(ds.image_paths[i])
+        out = np.asarray(render(cond_for(a_pid, exp),
+                                jnp.asarray(ds.poses[i][:3])))
+        wrong = np.asarray(render(cond_for(a_pid, [e for e in
+                                                   set(int(x) for x in ds.exp_types)
+                                                   if e != exp][0]),
+                                  jnp.asarray(ds.poses[i][:3])))
+        expr.append({"exp": exp, "own_exp_psnr": psnr(out, gt),
+                     "wrong_exp_psnr": psnr(wrong, gt)})
+        print(f"expression {exp}: own {expr[-1]['own_exp_psnr']:.2f} vs "
+              f"wrong {expr[-1]['wrong_exp_psnr']:.2f} dB")
+
+    result = {
+        "study": "one flagship-dims model over a synthetic identity family",
+        "model": {"coarse": [cfg.netdepth, cfg.netwidth],
+                  "fine": [cfg.netdepth_fine, cfg.netwidth_fine],
+                  "n_samples": [cfg.N_samples, cfg.N_importance],
+                  "step": int(step)},
+        "dataset": {"n_ids": args.n_ids, "res": int(H),
+                    "expressions": sorted(set(int(e) for e in ds.exp_types)),
+                    "datadir": cfg.datadir},
+        "recipe": {"lrate": cfg.lrate, "precrop_iters": cfg.precrop_iters,
+                   "lm_frac": cfg.lm_frac,
+                   "lm_frac_anneal_iters": cfg.lm_frac_anneal_iters},
+        "per_identity": per_identity,
+        "mean_heldout_psnr": float(np.mean(
+            [v["psnr"] for v in per_identity.values()])),
+        "mean_heldout_ssim": float(np.mean(
+            [v["ssim"] for v in per_identity.values()])),
+        "cross_identity": cross,
+        "identity_interpolation": interp,
+        "expression_control": expr,
+    }
+    with open(args.out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {args.out_json}")
+
+
+if __name__ == "__main__":
+    main()
