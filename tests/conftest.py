@@ -44,6 +44,8 @@ SLOW_TESTS = {
     "test_preprocess.py::test_bisenet_shapes",
     "test_preprocess.py::test_hourglass_shapes_and_light",
     "test_refine.py::test_discriminator_multiscale_features",
+    "test_refine_corpus_cli.py::test_refine_corpus_render_and_pairing",
+    "test_refine_corpus_cli.py::test_refine_corpus_person_sharding",
     "test_refine.py::test_generator_shapes",
     "test_refine.py::test_instance_feature_encoder",
     "test_refine.py::test_refine_train_step_adversarial_dynamics",
