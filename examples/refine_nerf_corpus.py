@@ -1,0 +1,233 @@
+"""Close the RefineNet loop on REAL NeRF renders (VERDICT r2 #2).
+
+The reference pipeline is: trained coarse model -> render_refine_trainSet
+corpus (render_refine_trainSet.py:242-307) -> GT pairing -> pix2pixHD
+training on the NeRF's own artifacts (run_train_refineNet.py:23-150).
+Round 2 proved restoration only on synthetic meanpool+noise degradations;
+this study drives the actual workflow end-to-end:
+
+1. `cli.render_refine_trainset` renders a corpus with the TRAINED flagship
+   model (the morphable_flagship checkpoint) at dataset poses,
+2. `cli.prepare_refine_trainset` mirrors the pixel-aligned GT tree,
+3. the GAN trains on (NeRF render, GT) pairs with a held-out view split,
+4. held-out gain is measured on NeRF artifacts: PSNR + SSIM + a VGG-feature
+   distance. NOTE: torchvision VGG19 weights are unfetchable in this env
+   (zero egress), so the feature distance uses a FIXED random-init VGG19 —
+   a random-projection perceptual proxy, labeled as such in the artifact.
+
+Writes artifacts/refine_nerf_quality.json + before/after PNGs.
+
+Usage (after examples/morphable_flagship.py --stage train):
+  python examples/refine_nerf_corpus.py --steps 3000
+CPU smoke: --quick --small_model (tiny dims, untrained model).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default="studydata/faces8")
+    p.add_argument("--basedir", default="studydata/logs")
+    p.add_argument("--expname", default="morphable_flagship")
+    p.add_argument("--corpus_dir", default="studydata/refine_corpus")
+    p.add_argument("--n_ids", type=int, default=8)
+    p.add_argument("--res", type=int, default=128)
+    p.add_argument("--exp_num", type=int, default=3)
+    p.add_argument("--view_num", type=int, default=8)
+    p.add_argument("--heldout_views", type=int, default=2,
+                   help="per-(id,exp) views held out of GAN training")
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--out_json", default="artifacts/refine_nerf_quality.json")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--small_model", action="store_true",
+                   help="tiny field dims (CPU smoke against an untrained model)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.quick:
+        args.steps, args.exp_num, args.view_num = 80, 1, 3
+        args.heldout_views = 1
+
+    import numpy as np
+    import jax.numpy as jnp
+    import imageio.v2 as imageio
+
+    from mofanerf_tpu.cli.prepare_refine_trainset import main as prepare_main
+    from mofanerf_tpu.cli.render_refine_trainset import main as render_main
+    from mofanerf_tpu.models.refine.losses import VGG19Features
+    from mofanerf_tpu.train.refine import (
+        RefineConfig, build_models, init_refine_state,
+        make_refine_optimizers, refine_train_step,
+    )
+    from mofanerf_tpu.utils.metrics import img2mse, mse2psnr, ssim as ssim_fn, to8b
+
+    cfg_flags = [
+        "--expname", args.expname,
+        "--basedir", args.basedir,
+        "--datadir", args.data,
+        "--uvdir", os.path.join(args.data, "uv"),
+        "--shape_codes_path", os.path.join(args.data, "factors_id.npy"),
+        "--person_num", str(args.n_ids),
+    ]
+    if args.small_model:
+        cfg_flags += [
+            "--netdepth", "2", "--netwidth", "8",
+            "--netdepth_fine", "2", "--netwidth_fine", "16",
+            "--N_samples", "8", "--N_importance", "8",
+            "--compute_dtype", "float32", "--packet_size", "1024",
+        ]
+
+    # ---- 1+2: corpus render + GT pairing through the real CLIs (resumable)
+    renders_dir = os.path.join(args.corpus_dir, "train")
+    gt_dir = os.path.join(args.corpus_dir, "gt")
+    render_main([
+        "--out_dir", renders_dir,
+        "--exp_num", str(args.exp_num), "--view_num", str(args.view_num),
+        "--res", str(args.res),
+    ] + cfg_flags)
+    prepare_main(["--renders_dir", renders_dir, "--out_dir", gt_dir])
+
+    manifest = json.load(open(os.path.join(renders_dir, "gt_manifest.json")))
+    pairs = []
+    for rel in sorted(manifest):
+        rp, gp = os.path.join(renders_dir, rel), os.path.join(gt_dir, rel)
+        if os.path.exists(rp) and os.path.exists(gp):
+            a = np.asarray(imageio.imread(rp), np.float32)[..., :3] / 255.0
+            b = np.asarray(imageio.imread(gp), np.float32)[..., :3] / 255.0
+            pairs.append((rel, a, b))
+    assert pairs, "empty corpus"
+    print(f"corpus: {len(pairs)} (render, GT) pairs at {args.res}^2")
+
+    # held-out split: the LAST heldout_views views of each (id, exp) group
+    # (always keeping at least one training view per group); if every group
+    # is a single view, fall back to holding out every 4th pair
+    groups = {}
+    for p_ in pairs:
+        groups.setdefault(os.path.dirname(p_[0]), []).append(p_)
+    train_pairs, test_pairs = [], []
+    for g_ in groups.values():
+        g_.sort(key=lambda p_: p_[0])
+        n_hold = min(args.heldout_views, len(g_) - 1)
+        train_pairs += g_[: len(g_) - n_hold]
+        test_pairs += g_[len(g_) - n_hold:]
+    if not test_pairs:
+        test_pairs = train_pairs[::4]
+        train_pairs = [p_ for p_ in train_pairs if p_ not in test_pairs]
+    print(f"GAN split: {len(train_pairs)} train / {len(test_pairs)} held-out")
+
+    # ---- 3: GAN training on the NeRF's own artifacts
+    rcfg = RefineConfig(use_vgg=False,
+                        ngf=16 if args.quick else 32,
+                        n_blocks=3 if args.quick else 9,
+                        n_downsampling=2 if args.quick else 4)
+    steps_per_epoch = max(1, len(train_pairs) // args.batch)
+    state = init_refine_state(jax.random.PRNGKey(0), rcfg,
+                              steps_per_epoch=steps_per_epoch,
+                              image_size=args.res)
+    g_tx, d_tx = make_refine_optimizers(rcfg, steps_per_epoch)
+    step = jax.jit(lambda s, a, b: refine_train_step(s, a, b, rcfg, g_tx, d_tx))
+
+    rng = np.random.default_rng(0)
+
+    def batch():
+        ids = rng.choice(len(train_pairs), args.batch)
+        a = np.stack([train_pairs[i][1] for i in ids]) * 2 - 1
+        b = np.stack([train_pairs[i][2] for i in ids]) * 2 - 1
+        return jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        state, m = step(state, *batch())
+        if i % max(1, args.steps // 6) == 0:
+            print(f"[REFINE-NERF] step {i} loss_G {float(m['loss_G']):.3f} "
+                  f"loss_D {float(m['loss_D']):.3f} "
+                  f"({(i + 1) / (time.time() - t0):.2f} it/s)", flush=True)
+    train_secs = round(time.time() - t0, 1)
+
+    # ---- 4: held-out measurement on NeRF artifacts
+    g, _ = build_models(rcfg)
+    infer = jax.jit(lambda x: g.apply(state.g_params, x))
+
+    # perceptual proxy: FIXED random-init VGG19 feature distance (weights
+    # unfetchable here — random projections still order blur vs detail)
+    vgg = VGG19Features()
+    vgg_params = vgg.init(jax.random.PRNGKey(42),
+                          jnp.zeros((1, args.res, args.res, 3)))
+    feats = jax.jit(lambda x: vgg.apply(vgg_params, x))
+
+    def vgg_dist(a, b):
+        fa = feats(jnp.asarray(a[None] * 2 - 1, jnp.float32))
+        fb = feats(jnp.asarray(b[None] * 2 - 1, jnp.float32))
+        return float(sum(jnp.mean(jnp.abs(x - y)) for x, y in zip(fa, fb)))
+
+    def psnr(a, b):
+        return float(mse2psnr(img2mse(jnp.asarray(a), jnp.asarray(b))))
+
+    rows = []
+    for rel, a, b in test_pairs:
+        ref = np.asarray(infer(jnp.asarray(a[None] * 2 - 1, jnp.float32)))[0]
+        ref = np.clip((ref + 1) / 2, 0, 1)
+        rows.append({
+            "view": rel,
+            "input_psnr_db": round(psnr(a, b), 2),
+            "refined_psnr_db": round(psnr(ref, b), 2),
+            "input_ssim": round(float(ssim_fn(jnp.asarray(a), jnp.asarray(b))), 4),
+            "refined_ssim": round(float(ssim_fn(jnp.asarray(ref), jnp.asarray(b))), 4),
+            "input_vgg_dist": round(vgg_dist(a, b), 4),
+            "refined_vgg_dist": round(vgg_dist(ref, b), 4),
+        })
+
+    out_dir = os.path.dirname(os.path.abspath(args.out_json))
+    os.makedirs(out_dir, exist_ok=True)
+    rel0, a0, b0 = test_pairs[0]
+    ref0 = np.clip((np.asarray(infer(jnp.asarray(a0[None] * 2 - 1,
+                                                 jnp.float32)))[0] + 1) / 2, 0, 1)
+    imageio.imwrite(os.path.join(out_dir, "refine_nerf_triptych.png"),
+                    to8b(np.concatenate([a0, ref0, b0], axis=1)))
+
+    def mean(k):
+        return round(float(np.mean([r[k] for r in rows])), 4)
+
+    results = {
+        "study": "RefineNet trained on REAL NeRF renders of the flagship "
+                 "morphable model (full corpus workflow: "
+                 "render_refine_trainset -> prepare_refine_trainset -> GAN)",
+        "corpus": {"pairs": len(pairs), "gan_train": len(train_pairs),
+                   "heldout": len(test_pairs), "res": args.res,
+                   "renders_dir": renders_dir},
+        "generator": f"ngf={rcfg.ngf} n_blocks={rcfg.n_blocks} "
+                     f"n_down={rcfg.n_downsampling} (pix2pixHD global)",
+        "steps": args.steps, "train_secs": train_secs,
+        "heldout_input_psnr_db": mean("input_psnr_db"),
+        "heldout_refined_psnr_db": mean("refined_psnr_db"),
+        "psnr_gain_db": round(mean("refined_psnr_db") - mean("input_psnr_db"), 2),
+        "heldout_input_ssim": mean("input_ssim"),
+        "heldout_refined_ssim": mean("refined_ssim"),
+        "heldout_input_vgg_dist": mean("input_vgg_dist"),
+        "heldout_refined_vgg_dist": mean("refined_vgg_dist"),
+        "vgg_note": "FIXED random-init VGG19 feature distance (torchvision "
+                    "weights unfetchable in this env) — a random-projection "
+                    "perceptual proxy, lower is better",
+        "per_view": rows,
+    }
+    with open(args.out_json, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps({k: v for k, v in results.items() if k != "per_view"},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
