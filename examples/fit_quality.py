@@ -1,0 +1,243 @@
+"""Fitting as a MEASURED capability: recover known codes + pose from one
+image (VERDICT r2 #3).
+
+The reference's second user-facing workload is inverse rendering
+(run_fit.py:134-431): optimize {shape, texture, expression, pose, light}
+against a single photo. Round 2 proved the loop runs and benchmarked
+11.5 it/s; this study measures CONVERGENCE QUALITY with ground truth
+available: the target view is rendered from the trained flagship morphable
+model itself at KNOWN codes and pose, the fit starts from random codes and
+a perturbed pose, and we measure
+
+- fitted-render PSNR/SSIM vs the target,
+- code-space recovery (identity dims 0..9 — the dims the procedural family
+  actually spans; the remaining 40 are unconstrained directions the model
+  never saw vary, reported separately for honesty),
+- pose recovery (geodesic rotation error + camera-center distance),
+- light-scale recovery (true scale = 1),
+plus the reference's two render-only modes on the fitted codes
+("rendering" novel views, "rendering_modulation" expression rigging —
+run_fit.py:352-431).
+
+Writes artifacts/fit_quality.json + target/fitted/novel-view PNGs.
+
+Usage (after examples/morphable_flagship.py --stage train):
+  python examples/fit_quality.py
+CPU smoke: --quick --small_model.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default="studydata/faces8")
+    p.add_argument("--basedir", default="studydata/logs")
+    p.add_argument("--expname", default="morphable_flagship")
+    p.add_argument("--person", type=int, default=2)
+    p.add_argument("--expression", type=int, default=1)
+    p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--out_dir", default="studydata/fit_study")
+    p.add_argument("--out_json", default="artifacts/fit_quality.json")
+    p.add_argument("--pose_jitter_deg", type=float, default=6.0)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--small_model", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.quick:
+        args.iters = 60
+
+    import numpy as np
+    import jax.numpy as jnp
+    import imageio.v2 as imageio
+
+    from mofanerf_tpu.config import Config
+    from mofanerf_tpu.data.facescape import (
+        load_facescape_data, load_shape_codes, read_image,
+    )
+    from mofanerf_tpu.datagen.synthetic_faces import face_landmarks
+    from mofanerf_tpu.render.renderer import (
+        encode_texture, exp_code_for, prepare_conditioning, render_frame,
+    )
+    from mofanerf_tpu.train.checkpoint import latest_step, restore_checkpoint
+    from mofanerf_tpu.train.fit import FitConfig, render_fit_frame
+    from mofanerf_tpu.train.fit_loop import (
+        fit, render_modulation, render_novel_views,
+    )
+    from mofanerf_tpu.train.state import create_train_state
+    from mofanerf_tpu.utils.metrics import img2mse, mse2psnr, ssim as ssim_fn, to8b
+
+    cfg_kwargs = dict(
+        expname=args.expname, basedir=args.basedir, datadir=args.data,
+        uvdir=os.path.join(args.data, "uv"),
+        shape_codes_path=os.path.join(args.data, "factors_id.npy"),
+        person_num=8,
+    )
+    if args.small_model:
+        cfg_kwargs.update(netdepth=2, netwidth=8, netdepth_fine=2,
+                          netwidth_fine=16, N_samples=8, N_importance=8,
+                          compute_dtype="float32", packet_size=1024)
+    cfg = Config(**cfg_kwargs)
+    spec = cfg.model_spec()
+
+    state = create_train_state(jax.random.PRNGKey(0), spec)
+    ckpt_dir = os.path.join(cfg.basedir, cfg.expname, "checkpoints")
+    step = latest_step(ckpt_dir)
+    if step is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        print(f"model checkpoint at step {int(state.step)}")
+    else:
+        print("WARNING: fitting against an untrained model (smoke only)")
+    params = state.params
+
+    codes = load_shape_codes(cfg.shape_codes_path)
+    ds = load_facescape_data(cfg.datadir, list(range(8)), codes,
+                             uvdir=cfg.uvdir, testskip=1)
+    H, W, focal = ds.hwf
+    K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]],
+                 np.float32)
+    face_params = np.load(os.path.join(cfg.datadir, "face_params.npy"))
+
+    # ---- ground truth: a held-out pose of the chosen identity/expression
+    pid, exp_id = args.person, args.expression
+    test_i = [int(i) for i in ds.i_split[2]
+              if int(ds.id_codes[i]) == pid and int(ds.exp_types[i]) == exp_id]
+    assert test_i, "no held-out view for this (person, expression)"
+    pose_true = np.asarray(ds.poses[test_i[0]], np.float32)
+
+    shape_true = jnp.asarray(codes[pid])
+    exp_true = exp_code_for(params, exp_id)
+    uv = read_image(ds.uv_paths[pid], is_uvmap=True, uv_size=spec.uv_size)
+    tex_true = encode_texture(params, spec, jnp.asarray(uv))
+
+    cond_true = prepare_conditioning(params, spec, shape_true, exp_true, tex_true)
+    target = np.asarray(render_frame(
+        params, spec, cond_true, H, W, jnp.asarray(K), jnp.asarray(pose_true[:3])
+    )["rgb"])
+    target = np.clip(target, 0.0, 1.0)
+
+    # ---- perturbed pose init (the wild pipeline's estimate is approximate)
+    rng = np.random.default_rng(3)
+    ang = np.deg2rad(args.pose_jitter_deg)
+    rx, ry = rng.uniform(-ang, ang, 2)
+
+    def rot_y(a):
+        return np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                         [-np.sin(a), 0, np.cos(a)]])
+
+    def rot_x(a):
+        return np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                         [0, np.sin(a), np.cos(a)]])
+
+    pose_init = pose_true.copy()
+    pose_init[:3, :3] = rot_y(ry) @ rot_x(rx) @ pose_true[:3, :3]
+    pose_init[:3, 3] = pose_true[:3, 3] + rng.uniform(-0.4, 0.4, 3)
+
+    # ---- landmarks: project the identity's 68 points through (K, pose)
+    lm3 = face_landmarks(face_params[pid], exp_id)
+    Rt, t = pose_true[:3, :3], pose_true[:3, 3]
+    pc = (lm3 - t) @ Rt
+    z = -pc[:, 2]
+    px = K[0, 2] + K[0, 0] * pc[:, 0] / z
+    py = K[1, 2] - K[1, 1] * pc[:, 1] / z
+    kp2d = np.stack([py, px], -1)  # (row, col)
+
+    fcfg = FitConfig(
+        n_iters=args.iters, n_rand=1024 if not args.quick else 256,
+        H=H, W=W, focal=float(focal),
+        change_epoch=(0, 600, 1000, 1300, 1500) if not args.quick
+        else (0, 10, 20, 30, 40),
+        preview_every=500 if not args.quick else 50,
+    )
+    fstate = fit(params, spec, target, pose_init, kp2d, args.out_dir,
+                 cfg=fcfg, seed=1)
+
+    # ---- measurements
+    fitted = np.asarray(render_fit_frame(
+        params, spec, fstate.codes, H, W, jnp.asarray(K))["rgb"])
+    fitted = np.clip(fitted, 0, 1)
+    imageio.imwrite(os.path.join(args.out_dir, "fitted_final.png"), to8b(fitted))
+    imageio.imwrite(os.path.join(args.out_dir, "target_final.png"), to8b(target))
+
+    def psnr(a, b):
+        return float(mse2psnr(img2mse(jnp.asarray(a), jnp.asarray(b))))
+
+    shape_fit = np.asarray(fstate.codes.shape)
+    shape_t = np.asarray(shape_true)
+    id_dims = 10  # the dims the procedural family spans
+    err_id = float(np.linalg.norm(shape_fit[:id_dims] - shape_t[:id_dims]))
+    norm_id = float(np.linalg.norm(shape_t[:id_dims]))
+    exp_fit = np.asarray(fstate.codes.exp)
+    exp_t = np.asarray(exp_true)
+    err_exp = float(np.linalg.norm(exp_fit - exp_t))
+
+    pose_fit = np.asarray(fstate.codes.pose)
+    R_err = pose_fit[:3, :3] @ pose_true[:3, :3].T
+    ang_err = float(np.rad2deg(np.arccos(
+        np.clip((np.trace(R_err) - 1) / 2, -1, 1))))
+    t_err = float(np.linalg.norm(pose_fit[:3, 3] - pose_true[:3, 3]))
+    R0_err = pose_init[:3, :3] @ pose_true[:3, :3].T
+    ang0 = float(np.rad2deg(np.arccos(
+        np.clip((np.trace(R0_err) - 1) / 2, -1, 1))))
+    t0 = float(np.linalg.norm(pose_init[:3, 3] - pose_true[:3, 3]))
+
+    # the reference's render-only modes on the fitted codes
+    render_novel_views(params, spec, fstate.codes,
+                       os.path.join(args.out_dir, "rendering"), cfg=fcfg)
+    render_modulation(params, spec, fstate.codes,
+                      os.path.join(args.out_dir, "rendering_modulation"),
+                      exp_bank=jnp.asarray(params["exp_codes"]), cfg=fcfg)
+
+    results = {
+        "study": "fit known-truth target rendered from the trained flagship "
+                 "morphable model; random code init + perturbed pose",
+        "model_step": int(step) if step is not None else 0,
+        "target": {"person": pid, "expression": exp_id, "res": int(H),
+                   "pose_jitter_deg": args.pose_jitter_deg},
+        "schedule": {"iters": args.iters, "n_rand": fcfg.n_rand,
+                     "pyramid_change_epoch": list(fcfg.change_epoch)},
+        "fitted_psnr_db": round(psnr(fitted, target), 2),
+        "fitted_ssim": round(float(ssim_fn(jnp.asarray(fitted),
+                                           jnp.asarray(target))), 4),
+        "code_recovery": {
+            "shape_err_id_dims": round(err_id, 4),
+            "shape_norm_id_dims": round(norm_id, 4),
+            "shape_rel_err_id_dims": round(err_id / max(norm_id, 1e-9), 4),
+            "shape_err_unused_dims": round(float(np.linalg.norm(
+                shape_fit[id_dims:] - shape_t[id_dims:])), 4),
+            "exp_err": round(err_exp, 4),
+            "exp_norm_true": round(float(np.linalg.norm(exp_t)), 4),
+            "note": "dims 10..49 never vary in the training family; the "
+                    "field's response there is untrained, so only dims 0..9 "
+                    "are identifiable",
+        },
+        "pose_recovery": {
+            "init_rot_err_deg": round(ang0, 3),
+            "fitted_rot_err_deg": round(ang_err, 3),
+            "init_trans_err": round(t0, 4),
+            "fitted_trans_err": round(t_err, 4),
+        },
+        "light_scale": {"true": 1.0,
+                        "fitted": round(float(fstate.codes.light[0]), 4)},
+        "outputs": {"dir": args.out_dir,
+                    "modes": ["rendering", "rendering_modulation"]},
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out_json)), exist_ok=True)
+    with open(args.out_json, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
