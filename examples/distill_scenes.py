@@ -33,28 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _sphere(n_lat=28, n_lon=40):
-    import numpy as np
+    """Unit sphere (dirs, faces) via the shared lat-long topology
+    (datagen/synthetic_faces.py::_sphere_topology)."""
+    from mofanerf_tpu.datagen.synthetic_faces import _sphere_topology
 
-    us = np.linspace(0, np.pi, n_lat + 2)[1:-1]
-    vs = np.linspace(-np.pi, np.pi, n_lon, endpoint=False)
-    uu, vv = np.meshgrid(us, vs, indexing="ij")
-    dirs = np.stack([np.sin(uu) * np.sin(vv), np.cos(uu),
-                     np.sin(uu) * np.cos(vv)], -1).reshape(-1, 3)
-    dirs = np.concatenate([dirs, [[0, 1, 0]], [[0, -1, 0]]], 0)
-    top, bot = n_lat * n_lon, n_lat * n_lon + 1
-
-    def vid(i, j):
-        return i * n_lon + (j % n_lon)
-
-    faces = []
-    for i in range(n_lat - 1):
-        for j in range(n_lon):
-            faces.append((vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)))
-            faces.append((vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)))
-    for j in range(n_lon):
-        faces.append((top, vid(0, j), vid(0, j + 1)))
-        faces.append((bot, vid(n_lat - 1, j + 1), vid(n_lat - 1, j)))
-    return dirs, np.asarray(faces, dtype="int32")
+    dirs, faces, _ = _sphere_topology(n_lat, n_lon)
+    return dirs, faces
 
 
 def _torus(R=1.6, r=0.55, n_u=40, n_v=20):

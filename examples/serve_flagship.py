@@ -122,6 +122,9 @@ def main() -> None:
 
     codes = load_shape_codes(cfg.shape_codes_path)
     persons = [int(s) for s in args.ids.split(",") if s.strip()]
+    if not persons:
+        raise SystemExit(f"--ids={args.ids!r} parses to an empty list — "
+                         "pass comma-separated person ids")
     ds = load_facescape_data(cfg.datadir, list(range(8)), codes,
                              uvdir=cfg.uvdir, testskip=1)
     H, W, focal = ds.hwf
@@ -216,7 +219,6 @@ def main() -> None:
     throughput = None
     if fused:
         from mofanerf_tpu.models.student import fold_student_code
-        from mofanerf_tpu.render.serve import render_rays_bounded
         from mofanerf_tpu.ops.pallas_serve import render_rays_bounded_fused
 
         n_rays = 65536

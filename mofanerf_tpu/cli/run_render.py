@@ -151,6 +151,13 @@ def main(argv=None) -> None:
                 args.student_path, with_provenance=True)
             st = StudentState(sparams, None, None, jnp.asarray(0))
             print(f"loaded student artifact: {args.student_path}")
+            # an avatar artifact carries its covered ids — adopt them before
+            # the cond_dim checks so `--distill --student_path av.npz` serves
+            # the artifact without re-typing --distill_avatars
+            if (prov and prov.get("avatar_ids") is not None
+                    and avatar_ids is None):
+                avatar_ids = [int(v) for v in prov["avatar_ids"]]
+                print(f"avatar ids from artifact: {avatar_ids}")
             if args.distill_cond and scfg.cond_dim != spec.exp_dim:
                 raise SystemExit(
                     "--distill_cond rig needs an expression-conditioned "
@@ -193,14 +200,26 @@ def main(argv=None) -> None:
                     )
                 prov_avatars = prov.get("avatar_ids")
                 if (prov_avatars is not None and avatar_ids is not None
-                        and list(prov_avatars) != avatar_ids):
+                        and [int(v) for v in prov_avatars] != avatar_ids):
                     raise SystemExit(
                         f"artifact {args.student_path} covers avatars "
                         f"{prov_avatars}, but --distill_avatars="
                         f"{avatar_ids} was requested"
                     )
-                if prov_avatars is not None and avatar_ids is None:
-                    avatar_ids = [int(v) for v in prov_avatars]
+                # an expression-conditioned student (cond_dim == exp_dim)
+                # takes the expression as a runtime code; anything else was
+                # distilled AT prov['expression'] and is untrained elsewhere
+                prov_exp = prov.get("expression")
+                if (prov_exp is not None
+                        and getattr(scfg, "cond_dim", 0) != spec.exp_dim
+                        and int(prov_exp) != args.expression):
+                    raise SystemExit(
+                        f"artifact {args.student_path} was distilled at "
+                        f"expression {prov_exp}, but --expression="
+                        f"{args.expression} was requested — the student is "
+                        "untrained there; re-distill, or pass --expression "
+                        f"{prov_exp}"
+                    )
         elif avatar_ids:
             avs = [person_codes(pid) for pid in avatar_ids]
             st, scfg = distill_avatars(

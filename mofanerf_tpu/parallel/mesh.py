@@ -113,13 +113,14 @@ def shard_params_rules(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
     def spec_for(path: tuple, leaf) -> NamedSharding:
         keys = _path_keys(path)
-        if "fine" not in keys:
+        if n_model == 1 or "fine" not in keys:
             return NamedSharding(mesh, P())
         # tiny output heads: alpha (W->1) and the view stage's rgb (W/2->3)
         if "alpha" in keys or ("view" in keys and "rgb" in keys):
             return NamedSharding(mesh, P())
         leaf_key = keys[-1]
-        if not hasattr(leaf, "ndim") or leaf.shape[-1] % n_model != 0:
+        if (not hasattr(leaf, "ndim") or leaf.ndim < 1
+                or leaf.shape[-1] % n_model != 0):
             return NamedSharding(mesh, P())
         if leaf_key in _TP_WEIGHT_KEYS and leaf.ndim == 2:
             return NamedSharding(mesh, P(None, "model"))
