@@ -54,6 +54,8 @@ SLOW_TESTS = {
     "test_renderer.py::test_render_frame_padding",
     "test_renderer_oracle.py::test_two_pass_renderer_matches_torch_oracle",
     "test_run_render_cli.py::test_run_render_artifact_person_mismatch",
+    "test_run_render_cli.py::test_run_render_artifact_expression_mismatch",
+    "test_run_render_cli.py::test_run_render_avatar_artifact_autofill",
     "test_run_render_cli.py::test_run_render_distill_avatars_morph",
     "test_run_render_cli.py::test_run_render_distill_cond_rig",
     "test_scaling.py::test_render_frame_sharded_scaling_curve",

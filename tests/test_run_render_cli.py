@@ -125,3 +125,72 @@ def test_run_render_distill_avatars_morph(tmp_path):
     img = imageio.imread(out / pngs[0])
     assert img.shape[:2] == (16, 16)
     assert np.isfinite(img.astype(np.float32)).all()
+
+
+def test_run_render_artifact_expression_mismatch(tmp_path):
+    """A non-expression-conditioned artifact is only trained at the
+    expression it was distilled for; requesting another errors instead of
+    rendering untrained code regions."""
+    import pytest
+
+    from mofanerf_tpu.cli.run_render import main
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=1, n_train=1, n_test=1, hw=16)
+    student = tmp_path / "student.npz"
+    argv_tail = [
+        "--n_views", "1",
+        "--render_factor", "32",
+        "--distill",
+        "--distill_steps", "2",
+        "--n_samples", "8",
+        "--student_path", str(student),
+        "--expname", "smoke",
+        "--basedir", str(tmp_path / "logs"),
+        "--datadir", str(data_dir),
+        "--uvdir", str(data_dir / "uv"),
+        "--shape_codes_path", str(data_dir / "factors_id.npy"),
+        "--netdepth", "2", "--netwidth", "8",
+        "--netdepth_fine", "2", "--netwidth_fine", "8",
+        "--N_samples", "4", "--N_importance", "4",
+        "--compute_dtype", "float32",
+    ]
+    main(["--out_dir", str(tmp_path / "a"), "--expression", "0"] + argv_tail)
+    assert student.exists()
+    with pytest.raises(SystemExit, match="expression"):
+        main(["--out_dir", str(tmp_path / "b"), "--expression", "1"]
+             + argv_tail)
+
+
+def test_run_render_avatar_artifact_autofill(tmp_path):
+    """An avatar artifact carries its covered ids: reloading it with plain
+    --distill (no --distill_avatars) serves the recorded avatars instead of
+    rejecting the cond_dim."""
+    from mofanerf_tpu.cli.run_render import main
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=2, n_train=1, n_test=1, hw=16)
+    student = tmp_path / "avatars.npz"
+    argv_tail = [
+        "--n_views", "2",
+        "--render_factor", "32",
+        "--distill_steps", "4",
+        "--n_samples", "8",
+        "--student_path", str(student),
+        "--expname", "smoke",
+        "--basedir", str(tmp_path / "logs"),
+        "--datadir", str(data_dir),
+        "--uvdir", str(data_dir / "uv"),
+        "--shape_codes_path", str(data_dir / "factors_id.npy"),
+        "--netdepth", "2", "--netwidth", "8",
+        "--netdepth_fine", "2", "--netwidth_fine", "8",
+        "--N_samples", "4", "--N_importance", "4",
+        "--compute_dtype", "float32",
+    ]
+    main(["--out_dir", str(tmp_path / "a"), "--distill_avatars", "0,1"]
+         + argv_tail)
+    assert student.exists()
+    out_b = tmp_path / "b"
+    main(["--out_dir", str(out_b), "--distill"] + argv_tail)
+    pngs = [f for f in sorted(os.listdir(out_b)) if f.endswith(".png")]
+    assert len(pngs) == 2, pngs
