@@ -87,6 +87,14 @@ class Config:
     compute_dtype: str = "bfloat16"   # hot-path matmul dtype
     packet_size: int = 8192           # rays per lax.map packet
 
+    # device-resident data pipeline (data/device_data.py): keep the train
+    # split in HBM and sample batches in-graph, scanning scan_steps
+    # optimizer steps per dispatch (0 = auto from the logging intervals).
+    # Removes the host from the steady-state loop entirely — use when the
+    # split fits device memory (uint8 images; see estimate_device_bytes).
+    device_data: bool = False
+    scan_steps: int = 0
+
     # logging / checkpoint intervals
     i_print: int = 100
     i_img: int = 5000
@@ -96,6 +104,9 @@ class Config:
 
     # dataset
     dataset_type: str = "blender"
+    uv_size: int = 512                # UV map side; >=128 (encoder = 7
+                                      # stride-2 convs). Smaller sides cut
+                                      # the texture-encoder cost per step.
 
     def model_spec(self) -> MoFaNeRF:
         dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -126,6 +137,7 @@ class Config:
             shape_dim=self.input_ch_shapeCodes,
             exp_dim=self.input_ch_expCodes,
             tex_dim=self.input_ch_textureCodes,
+            uv_size=self.uv_size,
         )
 
 

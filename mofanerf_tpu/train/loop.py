@@ -142,6 +142,13 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
     rng_eval = np.random.default_rng(seed + 2)
     i_train = ds.i_split[0]
     n_total = n_iters if n_iters is not None else cfg.n_iters
+    if cfg.device_data:
+        _train_device_data(
+            cfg, spec, state, tx, ds, K, landmarks, logger, ckpt_dir,
+            exp_dir, grid, density_ema, grid_update_fn, grid_path,
+            start, n_total, seed, uv_cache, rng_eval,
+        )
+        return
     t0 = time.time()
 
     def make_batch(i: int) -> Batch:
@@ -150,7 +157,8 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
         img_i = int(rng.choice(i_train))
         pid = int(ds.id_codes[img_i])
         if pid not in uv_cache:
-            uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True)
+            uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True,
+                                       uv_size=spec.uv_size)
         target = read_image(ds.image_paths[img_i], half_res=cfg.half_res)
         pose = ds.poses[img_i]
         precrop = cfg.precrop_frac if i < cfg.precrop_iters else None
@@ -209,6 +217,113 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
     logger.note("training finished")
 
 
+def _auto_scan_steps(cfg: Config, n_total: int) -> int:
+    """Steps per device dispatch for the device-data path: the gcd of every
+    active logging/checkpoint interval (so chunk boundaries land exactly on
+    them), capped at 100."""
+    import math
+
+    g = 0
+    for v in (cfg.i_print, cfg.i_weights, cfg.i_testset, cfg.i_video,
+              cfg.i_grid):
+        if 0 < v <= n_total:
+            g = math.gcd(g, v)
+    return max(1, min(g or 100, 100))
+
+
+def _train_device_data(cfg, spec, state, tx, ds, K, landmarks, logger,
+                       ckpt_dir, exp_dir, grid, density_ema, grid_update_fn,
+                       grid_path, start, n_total, seed, uv_cache, rng_eval):
+    """Device-resident training driver (data/device_data.py): the train
+    split lives in HBM, batches are sampled in-graph, and `scan_steps`
+    optimizer steps run per dispatch under one lax.scan — the host does
+    nothing in steady state but fire chunks and handle interval I/O.
+
+    Replaces the reference's host DataLoader thread pool
+    (run_train.py:335) with the TPU-native equivalent: zero per-step
+    host->device traffic, one runtime round-trip per chunk."""
+    from functools import partial
+
+    from mofanerf_tpu.data.device_data import (
+        DeviceSamplerConfig,
+        build_device_dataset,
+        sample_batch_device,
+    )
+
+    H, W, _ = ds.hwf
+    dd, bias = build_device_dataset(
+        ds, K, ds.i_split[0], landmarks=landmarks, uv_size=spec.uv_size,
+        half_res=cfg.half_res, seed=seed,
+    )
+    scfg = DeviceSamplerConfig(
+        n_rand=cfg.N_rand, H=H, W=W,
+        precrop_iters=cfg.precrop_iters, precrop_frac=cfg.precrop_frac,
+        lm_frac=cfg.lm_frac, lm_frac_anneal_iters=cfg.lm_frac_anneal_iters,
+        bias=bias,
+    )
+    Kj = jnp.asarray(K)
+    base_key = jax.random.PRNGKey(seed * 7919 + 13)
+    C = cfg.scan_steps if cfg.scan_steps > 0 else _auto_scan_steps(cfg, n_total)
+    logger.note(f"device-data path: {dd.images.shape[0]} frames resident, "
+                f"bias={bias}, {C} steps/dispatch")
+
+    @partial(jax.jit, static_argnames="n_steps")
+    def run_chunk(state, i0, n_steps: int):
+        def body(st, t):
+            i = i0 + t
+            k = jax.random.fold_in(base_key, i)
+            batch = sample_batch_device(dd, Kj, i, jax.random.fold_in(k, 0),
+                                        scfg)
+            return train_step(st, batch, jax.random.fold_in(k, 1), spec, tx)
+
+        state, ms = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    sample_jit = jax.jit(
+        lambda i, k: sample_batch_device(dd, Kj, i, k, scfg))
+
+    t0 = time.time()
+    i = start
+    while i < n_total:
+        c = min(C - i % C, n_total - i)
+        state, metrics = run_chunk(state, jnp.asarray(i, jnp.int32), c)
+        i += c
+
+        if (grid_update_fn is not None and i >= cfg.grid_warmup
+                and cfg.i_grid > 0 and i % cfg.i_grid == 0):
+            gkey = jax.random.fold_in(jax.random.fold_in(base_key, i), 2)
+            gbatch = sample_jit(jnp.asarray(i, jnp.int32), gkey)
+            grid, density_ema = grid_update_fn(
+                state.params, gbatch, grid, density_ema)
+
+        if i % cfg.i_print == 0:
+            loss = float(metrics["loss"])
+            psnr = float(metrics["psnr"])
+            rate = (i - start) / (time.time() - t0)
+            print(f"[TRAIN] iter {i} loss {loss:.5f} psnr {psnr:.2f} "
+                  f"it/s {rate:.2f}")
+            logger.write(i, Loss=loss, PSNR=psnr)
+
+        if i % cfg.i_weights == 0:
+            path = save_checkpoint(ckpt_dir, state, i)
+            if grid is not None:
+                save_grid(grid_path, grid, density_ema)
+            logger.note(f"checkpoint saved: {path}")
+
+        if i % cfg.i_testset == 0 and len(ds.i_split[2]) > 0:
+            _render_test_image(cfg, spec, state, ds, K, rng_eval, exp_dir,
+                               i, uv_cache)
+
+        if i % cfg.i_video == 0:
+            _render_orbit_video(cfg, spec, state, ds, rng_eval, exp_dir, i,
+                                uv_cache)
+
+    save_checkpoint(ckpt_dir, state, n_total)
+    if grid is not None:
+        save_grid(grid_path, grid, density_ema)
+    logger.note("training finished")
+
+
 def _render_orbit_video(cfg, spec, state, ds, rng, exp_dir, step, uv_cache):
     """Orbit render over `render_poses` (run_train.py's i_video hook over
     tools/load_facescape.py:87-88's spherical path). Writes frames; mp4 only
@@ -220,7 +335,8 @@ def _render_orbit_video(cfg, spec, state, ds, rng, exp_dir, step, uv_cache):
     train_i = int(rng.choice(ds.i_split[0]))
     pid = int(ds.id_codes[train_i])
     if pid not in uv_cache:
-        uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True)
+        uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True,
+                                   uv_size=spec.uv_size)
     tex = encode_texture(state.params, spec, jnp.asarray(uv_cache[pid]))
     cond = prepare_conditioning(
         state.params, spec, jnp.asarray(ds.shape_codes[train_i]),
@@ -248,7 +364,8 @@ def _render_test_image(cfg, spec, state, ds, K, rng, exp_dir, step, uv_cache):
     test_i = int(rng.choice(ds.i_split[2]))
     pid = int(ds.id_codes[test_i])
     if pid not in uv_cache:
-        uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True)
+        uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True,
+                                   uv_size=spec.uv_size)
     tex = encode_texture(state.params, spec, jnp.asarray(uv_cache[pid]))
     cond = prepare_conditioning(
         state.params, spec, jnp.asarray(ds.shape_codes[test_i]),

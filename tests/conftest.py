@@ -30,6 +30,7 @@ jax.config.update("jax_enable_x64", False)
 # ---------------------------------------------------------------------------
 
 SLOW_TESTS = {
+    "test_device_data.py::test_train_device_data_e2e",
     "test_cond_student.py::test_distill_expressions_learns_code_control",
     "test_cond_student.py::test_fused_kernel_serves_folded_conditioned_student",
     "test_fit.py::test_fit_loop_e2e",
