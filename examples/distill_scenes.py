@@ -152,11 +152,18 @@ def main() -> None:
                      np.float32)
         Kj = jnp.asarray(K)
 
+        # white_bkgd is load-bearing: with black backgrounds, an empty (or
+        # black-fog) field matches most pixels for free and thin/concave
+        # scenes collapse into that basin (observed: teacher PSNR falling
+        # to ~7.5 dB and a "student matches empty teacher at 100 dB"
+        # degenerate artifact). Compositing targets AND renders over white
+        # makes emptiness visible and removes the degenerate optimum.
         spec = MoFaNeRF(
             coarse=FieldConfig(depth=8, width=args.width),
             fine=FieldConfig(depth=8, width=args.width * 2),
             render=RenderConfig(n_coarse=32, n_importance=32,
-                                packet_size=4096, raw_noise_std=1.0),
+                                packet_size=4096, raw_noise_std=1.0,
+                                white_bkgd=True),
             uv_size=128,
         )
         state = create_train_state(jax.random.PRNGKey(sid), spec, lrate=1e-3)
@@ -168,13 +175,20 @@ def main() -> None:
         uv = jnp.full((128, 128, 3), 0.5)
         images = {}
 
+        def load_white(path):
+            """RGBA png -> (rgb over white, fg mask)."""
+            img = np.asarray(imageio.imread(path), np.float32) / 255.0
+            if img.shape[-1] == 4:
+                a = img[..., 3:]
+                return img[..., :3] * a + (1.0 - a), img[..., 3] > 0.02
+            return img[..., :3], img[..., :3].sum(-1) > 0.05
+
         def batch_for(i):
             img_i = int(rng.choice(ds.i_split[0]))
             if img_i not in images:
-                img = imageio.imread(ds.image_paths[img_i]).astype(np.float32) / 255.0
-                images[img_i] = img[..., :3]
-            target = images[img_i]
-            obj_r, obj_c = np.nonzero(target.sum(-1) > 0.05)
+                images[img_i] = load_white(ds.image_paths[img_i])
+            target, fg_mask = images[img_i]
+            obj_r, obj_c = np.nonzero(fg_mask)
             n_obj = min(int(614 * min(1.0, i / 1000)), obj_r.shape[0])
             pick = (rng.integers(0, obj_r.shape[0], n_obj) if n_obj
                     else np.empty(0, int))
@@ -208,7 +222,7 @@ def main() -> None:
         for ti in test_ids:
             t_renders[ti] = np.asarray(teacher_frame(
                 state.params, cond, jnp.asarray(ds.poses[ti][:3])))
-            gts[ti] = imageio.imread(ds.image_paths[ti]).astype(np.float32)[..., :3] / 255.0
+            gts[ti] = load_white(ds.image_paths[ti])[0]
         teacher_gt_psnr = float(np.mean([psnr(t_renders[t], gts[t])
                                          for t in test_ids]))
         teacher_gt_ssim = float(np.mean([
@@ -230,7 +244,7 @@ def main() -> None:
         serve_frame = jax.jit(
             lambda p, c, pose, _cfg=scfg: render_frame_serve(
                 p, _cfg, c, H, W, Kj, pose, n_samples=args.n_samples,
-                aabb_min=aabb_min, aabb_max=aabb_max,
+                aabb_min=aabb_min, aabb_max=aabb_max, white_bkgd=True,
                 packet_size=4096, hit_fraction=1.0)["rgb"])
         s_renders = {ti: np.asarray(serve_frame(
             st.params, st.cond, jnp.asarray(ds.poses[ti][:3])))
@@ -274,6 +288,7 @@ def main() -> None:
                    + f", {args.distill_steps} steps, "
                      f"{args.n_samples} bounded samples",
         "device": str(jax.devices()[0]),
+        "white_bkgd": True,
         "scenes": scene_rows,
         "psnr_vs_teacher_spread_db": [round(min(vs_t), 2), round(max(vs_t), 2)],
     }

@@ -49,6 +49,8 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--small_model", action="store_true")
+    p.add_argument("--white_bkgd", action="store_true",
+                   help="must match the checkpoint's training setting")
     args = p.parse_args()
 
     import jax
@@ -83,6 +85,7 @@ def main() -> None:
         uvdir=os.path.join(args.data, "uv"),
         shape_codes_path=os.path.join(args.data, "factors_id.npy"),
         person_num=8,
+        white_bkgd=args.white_bkgd,
     )
     if args.small_model:
         cfg_kwargs.update(netdepth=2, netwidth=8, netdepth_fine=2,

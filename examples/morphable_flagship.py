@@ -54,6 +54,9 @@ def build_config(args) -> "Config":
         i_video=10 ** 9,
         i_grid=500,
         compute_dtype=args.compute_dtype,
+        white_bkgd=args.white_bkgd,
+        device_data=args.device_data,
+        scan_steps=args.scan_steps,
     )
     if args.small:  # CPU smoke tier
         cfg = dataclasses.replace(
@@ -76,6 +79,15 @@ def main() -> None:
     p.add_argument("--i_testset", type=int, default=5000)
     p.add_argument("--stage", choices=["train", "eval", "all"], default="all")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--white_bkgd", action="store_true",
+                   help="composite targets over white; forces the field to "
+                        "learn empty space (a black background lets an "
+                        "opaque near-plane 'curtain' of black fog match the "
+                        "data with no 3D structure — observed at 30k iters)")
+    p.add_argument("--device_data", action="store_true",
+                   help="device-resident split + in-graph batch sampling")
+    p.add_argument("--scan_steps", type=int, default=0,
+                   help="optimizer steps per dispatch (device_data path)")
     p.add_argument("--small", action="store_true", help="toy dims (CPU smoke)")
     p.add_argument("--res", type=int, default=0,
                    help="eval GT raster resolution override (0 = dataset res)")
@@ -171,7 +183,7 @@ def evaluate(args, cfg) -> None:
                            replace=False)
         ps_, ss_ = [], []
         for i in picks:
-            gt = read_image(ds.image_paths[i])
+            gt = read_image(ds.image_paths[i], white_bkgd=cfg.white_bkgd)
             out = np.asarray(render(cond_for(pid, int(ds.exp_types[i])),
                                     jnp.asarray(ds.poses[i][:3])))
             ps_.append(psnr(out, gt))
@@ -183,7 +195,7 @@ def evaluate(args, cfg) -> None:
         print(f"id {pid}: held-out PSNR {per_identity[pid]['psnr']:.2f} dB "
               f"SSIM {per_identity[pid]['ssim']:.3f}")
         i0 = picks[0]
-        gt = read_image(ds.image_paths[i0])
+        gt = read_image(ds.image_paths[i0], white_bkgd=cfg.white_bkgd)
         out = np.asarray(render(cond_for(pid, int(ds.exp_types[i0])),
                                 jnp.asarray(ds.poses[i0][:3])))
         gallery.append(np.concatenate([gt, np.clip(out, 0, 1)], axis=0))
@@ -199,7 +211,7 @@ def evaluate(args, cfg) -> None:
         a = persons[ai]
         b = persons[(ai + 1) % len(persons)]
         i = test_idx[a][0]
-        gt = read_image(ds.image_paths[i])
+        gt = read_image(ds.image_paths[i], white_bkgd=cfg.white_bkgd)
         out_b = np.asarray(render(cond_for(b, int(ds.exp_types[i])),
                                   jnp.asarray(ds.poses[i][:3])))
         cross.append({"own_id": a, "other_id": b,
@@ -222,8 +234,11 @@ def evaluate(args, cfg) -> None:
         code_t = (1 - t) * codes[a_pid] + t * codes[b_pid]
         tex_t = (1 - t) * tex_codes[a_pid] + t * tex_codes[b_pid]
         v, f, alb = face_mesh(p_t, int(ds.exp_types[frontal_i]))
-        gt_t, _, _ = rasterize_mesh(v, f, Kr, np.asarray(ds.poses[frontal_i]),
-                                    res, res, face_albedo=alb)
+        gt_t, _, mask_t = rasterize_mesh(v, f, Kr,
+                                         np.asarray(ds.poses[frontal_i]),
+                                         res, res, face_albedo=alb)
+        if cfg.white_bkgd:
+            gt_t = gt_t * mask_t[..., None] + (1.0 - mask_t[..., None])
         c_t = prepare_conditioning(
             params, spec, jnp.asarray(code_t),
             exp_code_for(params, int(ds.exp_types[frontal_i])), tex_t)
@@ -248,7 +263,7 @@ def evaluate(args, cfg) -> None:
         if not matches:
             continue
         i = matches[0]
-        gt = read_image(ds.image_paths[i])
+        gt = read_image(ds.image_paths[i], white_bkgd=cfg.white_bkgd)
         out = np.asarray(render(cond_for(a_pid, exp),
                                 jnp.asarray(ds.poses[i][:3])))
         wrong = np.asarray(render(cond_for(a_pid, [e for e in

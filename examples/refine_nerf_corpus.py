@@ -51,6 +51,9 @@ def main() -> None:
     p.add_argument("--quick", action="store_true")
     p.add_argument("--small_model", action="store_true",
                    help="tiny field dims (CPU smoke against an untrained model)")
+    p.add_argument("--white_bkgd", action="store_true",
+                   help="must match the checkpoint's training setting; also "
+                        "composites GT over white in the pairing step")
     args = p.parse_args()
 
     import jax
@@ -82,6 +85,8 @@ def main() -> None:
         "--shape_codes_path", os.path.join(args.data, "factors_id.npy"),
         "--person_num", str(args.n_ids),
     ]
+    if args.white_bkgd:
+        cfg_flags += ["--white_bkgd", "True"]
     if args.small_model:
         cfg_flags += [
             "--netdepth", "2", "--netwidth", "8",
@@ -98,7 +103,8 @@ def main() -> None:
         "--exp_num", str(args.exp_num), "--view_num", str(args.view_num),
         "--res", str(args.res),
     ] + cfg_flags)
-    prepare_main(["--renders_dir", renders_dir, "--out_dir", gt_dir])
+    prepare_main(["--renders_dir", renders_dir, "--out_dir", gt_dir]
+                 + (["--white_bkgd"] if args.white_bkgd else []))
 
     manifest = json.load(open(os.path.join(renders_dir, "gt_manifest.json")))
     pairs = []

@@ -55,6 +55,15 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--small_model", action="store_true")
+    p.add_argument("--white_bkgd", action="store_true",
+                   help="must match the checkpoint's training setting")
+    p.add_argument("--aabb_source", choices=["probe", "grid", "default"],
+                   default="probe",
+                   help="probe = rebuild an occupancy grid from the CURRENT "
+                        "field per identity and take the union box (robust "
+                        "to a training-maintained grid poisoned by early "
+                        "fog the EMA never pruned); grid = the maintained "
+                        "checkpoint grid")
     args = p.parse_args()
 
     import jax
@@ -90,6 +99,7 @@ def main() -> None:
         uvdir=os.path.join(args.data, "uv"),
         shape_codes_path=os.path.join(args.data, "factors_id.npy"),
         person_num=8,
+        white_bkgd=args.white_bkgd,
     )
     if args.small_model:
         cfg_kwargs.update(netdepth=2, netwidth=8, netdepth_fine=2,
@@ -113,7 +123,7 @@ def main() -> None:
 
     aabb_min, aabb_max = DEFAULT_AABB_MIN, DEFAULT_AABB_MAX
     grid_path = os.path.join(ckpt_dir, "occupancy_grid.npz")
-    if os.path.exists(grid_path):
+    if args.aabb_source == "grid" and os.path.exists(grid_path):
         from mofanerf_tpu.ops.occupancy import grid_aabb, load_grid
 
         g, _ = load_grid(grid_path)
@@ -132,6 +142,29 @@ def main() -> None:
         [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32))
     exp_bank = sorted(set(int(e) for e in ds.exp_types))
     near, far = spec.render.near, spec.render.far
+
+    if args.aabb_source == "probe" and step is not None:
+        # Union of per-identity boxes probed from the CURRENT field (the
+        # maintained grid's EMA can carry early-training fog forever).
+        from mofanerf_tpu.ops.occupancy import build_occupancy_grid, grid_aabb
+
+        lo_u, hi_u = None, None
+        for pid in persons:
+            uv = read_image(ds.uv_paths[pid], is_uvmap=True,
+                            uv_size=spec.uv_size)
+            tex = encode_texture(params, spec, jnp.asarray(uv))
+            c = prepare_conditioning(params, spec, jnp.asarray(codes[pid]),
+                                     exp_code_for(params, exp_bank[0]), tex)
+            g = build_occupancy_grid(
+                params["fine"], spec.fine, c.fine,
+                sigma_activation=spec.render.sigma_activation)
+            lo_p, hi_p = grid_aabb(g)
+            lo_u = lo_p if lo_u is None else np.minimum(lo_u, lo_p)
+            hi_u = hi_p if hi_u is None else np.maximum(hi_u, hi_p)
+        aabb_min = tuple(float(v) for v in lo_u)
+        aabb_max = tuple(float(v) for v in hi_u)
+        print(f"serving AABB probed from current field (union over "
+              f"{len(persons)} ids): {aabb_min} .. {aabb_max}")
 
     fused = jax.default_backend() == "tpu"
     dcfg = DistillConfig(
@@ -173,6 +206,7 @@ def main() -> None:
             st.params, _cfg, c, H, W, K, pose,
             near=near, far=far, n_samples=args.n_samples,
             aabb_min=aabb_min, aabb_max=aabb_max,
+            white_bkgd=spec.render.white_bkgd,
             packet_size=pkt, hit_fraction=1.0, fused=fused)["rgb"])
 
         picks = rng.choice(test_idx[pid],
@@ -181,7 +215,7 @@ def main() -> None:
         pt, pg, sst, ssg = [], [], [], []
         strip = None
         for i in picks:
-            gt = read_image(ds.image_paths[i])
+            gt = read_image(ds.image_paths[i], white_bkgd=cfg.white_bkgd)
             c_full = prepare_conditioning(
                 params, spec, shape,
                 exp_code_for(params, int(ds.exp_types[i])), tex)
@@ -240,7 +274,7 @@ def main() -> None:
             def body(i, acc):
                 out = render_rays_bounded_fused(
                     folded, scfg, o + i * 1e-12, d, near, far,
-                    args.n_samples, lo, hi, False)
+                    args.n_samples, lo, hi, spec.render.white_bkgd)
                 return acc + jnp.sum(out["rgb"][0])
             return jax.lax.fori_loop(0, 32, body, 0.0)
 
@@ -260,7 +294,9 @@ def main() -> None:
                    f"{args.distill_steps} steps, {args.n_samples} bounded "
                    "samples, fused" if not args.quick else "quick smoke",
         "aabb": {"min": [float(v) for v in aabb_min],
-                 "max": [float(v) for v in aabb_max]},
+                 "max": [float(v) for v in aabb_max],
+                 "source": args.aabb_source},
+        "white_bkgd": bool(cfg.white_bkgd),
         "per_identity": rows,
         "mean_psnr_vs_teacher_db": round(float(np.mean(
             [r["student_psnr_vs_teacher_db"] for r in rows])), 2),

@@ -19,6 +19,10 @@ def main(argv=None) -> None:
     p.add_argument("--renders_dir", required=True,
                    help="trainset renders with gt_manifest.json")
     p.add_argument("--out_dir", required=True)
+    p.add_argument("--white_bkgd", action="store_true",
+                   help="composite RGBA ground truth over white (must match "
+                        "the white_bkgd setting the coarse model was "
+                        "trained/rendered with)")
     args = p.parse_args(argv)
 
     import cv2
@@ -41,7 +45,12 @@ def main(argv=None) -> None:
             print(f"missing GT source {gt_src}")
             continue
         render = imageio.imread(render_path)
-        gt = np.asarray(imageio.imread(gt_src))[..., :3]
+        gt = np.asarray(imageio.imread(gt_src))
+        if gt.shape[-1] == 4 and args.white_bkgd:
+            a = gt[..., 3:].astype(np.float32) / 255.0
+            gt = np.clip(gt[..., :3] * a + 255.0 * (1.0 - a), 0, 255
+                         ).astype(gt.dtype)
+        gt = gt[..., :3]
         if gt.shape[:2] != render.shape[:2]:
             gt = cv2.resize(gt, (render.shape[1], render.shape[0]),
                             interpolation=cv2.INTER_AREA)

@@ -92,6 +92,7 @@ def build_device_dataset(
     uv_size: int = 512,
     fg_reservoir: int = 2048,
     half_res: bool = False,
+    white_bkgd: bool = False,
     seed: int = 0,
 ):
     """Read the split once on the host and place it on device. Returns
@@ -106,7 +107,8 @@ def build_device_dataset(
     bias = "landmarks" if landmarks is not None else "fg"
     has_fg = False
     for k, i in enumerate(idx):
-        img = read_image(ds.image_paths[int(i)], half_res=half_res)
+        img = read_image(ds.image_paths[int(i)], half_res=half_res,
+                         white_bkgd=white_bkgd)
         imgs.append(np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8))
         if landmarks is not None:
             lm3 = landmarks[int(ds.id_codes[i]), int(ds.exp_types[i])]

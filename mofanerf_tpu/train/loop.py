@@ -159,7 +159,8 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
         if pid not in uv_cache:
             uv_cache[pid] = read_image(ds.uv_paths[pid], is_uvmap=True,
                                        uv_size=spec.uv_size)
-        target = read_image(ds.image_paths[img_i], half_res=cfg.half_res)
+        target = read_image(ds.image_paths[img_i], half_res=cfg.half_res,
+                            white_bkgd=cfg.white_bkgd)
         pose = ds.poses[img_i]
         precrop = cfg.precrop_frac if i < cfg.precrop_iters else None
         coords = sampler.sample(
@@ -253,7 +254,7 @@ def _train_device_data(cfg, spec, state, tx, ds, K, landmarks, logger,
     H, W, _ = ds.hwf
     dd, bias = build_device_dataset(
         ds, K, ds.i_split[0], landmarks=landmarks, uv_size=spec.uv_size,
-        half_res=cfg.half_res, seed=seed,
+        half_res=cfg.half_res, white_bkgd=cfg.white_bkgd, seed=seed,
     )
     scfg = DeviceSamplerConfig(
         n_rand=cfg.N_rand, H=H, W=W,
