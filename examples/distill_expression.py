@@ -166,6 +166,11 @@ def main() -> None:
         mse = float(np.mean((a - b) ** 2))
         return round(-10.0 * np.log10(max(mse, 1e-10)), 2)
 
+    def ssim(a, b):
+        from mofanerf_tpu.utils.metrics import ssim as ssim_fn
+
+        return round(float(ssim_fn(jnp.asarray(a), jnp.asarray(b))), 4)
+
     def area(img_acc):
         return float((np.asarray(img_acc) > 0.5).mean())
 
@@ -201,6 +206,8 @@ def main() -> None:
         results["per_expression"][str(e)] = {
             "cond_psnr_vs_teacher_db": psnr(np.asarray(out["rgb"]),
                                             teacher_imgs[e]),
+            "cond_ssim_vs_teacher": ssim(np.asarray(out["rgb"]),
+                                         teacher_imgs[e]),
             "teacher_area": area(render_frame(
                 params, spec, conds[e], H, W, jnp.asarray(K), pose)["acc"]),
             "cond_area": area(out["acc"]),

@@ -156,6 +156,11 @@ def main() -> None:
         mse = float(np.mean((a - b) ** 2))
         return round(-10.0 * np.log10(max(mse, 1e-10)), 2)
 
+    def ssim(a, b):
+        from mofanerf_tpu.utils.metrics import ssim as ssim_fn
+
+        return round(float(ssim_fn(jnp.asarray(a), jnp.asarray(b))), 4)
+
     # ---- ONE student across both avatars
     dcfg = DistillConfig(cond_dim=spec.shape_dim + spec.exp_dim,
                          n_steps=args.distill_steps, batch=dbatch,
@@ -185,7 +190,9 @@ def main() -> None:
                         to8b(renders[pid]))
         results["per_identity"][str(pid)] = {
             "own_psnr_db": psnr(renders[pid], teachers[pid]),
+            "own_ssim": ssim(renders[pid], teachers[pid]),
             "cross_psnr_db": psnr(renders[pid], teachers[1 - pid]),
+            "cross_ssim": ssim(renders[pid], teachers[1 - pid]),
         }
 
     art = args.artifacts or os.path.join(args.out, "avatar_student_quality.json")

@@ -66,7 +66,7 @@ def main() -> None:
         Batch, create_train_state, make_optimizer, train_step,
     )
     from mofanerf_tpu.ops.rays import get_rays_at
-    from mofanerf_tpu.utils.metrics import to8b
+    from mofanerf_tpu.utils.metrics import ssim as ssim_fn, to8b
 
     # ---- 1. dataset + teacher training (same toy scene as train_synthetic)
     data_dir = os.path.join(args.out, "data")
@@ -159,7 +159,12 @@ def main() -> None:
     def psnr(a, b):
         return float(-10 * np.log10(np.mean((a - b) ** 2) + 1e-12))
 
+    def ssim(a, b):
+        return float(ssim_fn(jnp.asarray(a), jnp.asarray(b)))
+
     teacher_vs_gt = float(np.mean([psnr(teacher_renders[t], gts[t]) for t in test_ids]))
+    teacher_ssim_gt = float(np.mean([ssim(teacher_renders[t], gts[t])
+                                     for t in test_ids]))
     print(f"[TEACHER] held-out PSNR vs GT: {teacher_vs_gt:.2f} dB over {len(test_ids)} views")
 
     # ---- 2b. teacher production path on a REAL trained-field grid:
@@ -257,6 +262,9 @@ def main() -> None:
             p_teacher = float(np.mean([psnr(renders[t], teacher_renders[t])
                                        for t in test_ids]))
             p_gt = float(np.mean([psnr(renders[t], gts[t]) for t in test_ids]))
+            s_teacher = float(np.mean([ssim(renders[t], teacher_renders[t])
+                                       for t in test_ids]))
+            s_gt = float(np.mean([ssim(renders[t], gts[t]) for t in test_ids]))
 
             # packet throughput at production shapes
             n_rays = 8192
@@ -281,6 +289,8 @@ def main() -> None:
                 "student": name, "samples": S,
                 "psnr_vs_teacher_db": round(p_teacher, 2),
                 "psnr_vs_gt_db": round(p_gt, 2),
+                "ssim_vs_teacher": round(s_teacher, 4),
+                "ssim_vs_gt": round(s_gt, 4),
                 "rays_per_sec": round(rays_per_s, 1),
                 "distill_sec": round(distill_sec, 1),
             })
@@ -297,6 +307,7 @@ def main() -> None:
         "scene": f"synthetic cube {args.res}x{args.res}, teacher "
                  f"{teacher_desc}, {args.iters} iters",
         "teacher_psnr_vs_gt_db": round(teacher_vs_gt, 2),
+        "teacher_ssim_vs_gt": round(teacher_ssim_gt, 4),
         "device": str(jax.devices()[0]),
         "occupancy_real_grid": {"occ_fraction": round(occ_frac, 4), **occ_quality},
         "students": rows,
