@@ -144,3 +144,29 @@ def test_train_device_data_e2e(tiny_ds, tmp_path):
     # resume continues from the checkpoint
     train(cfg, n_iters=25)
     assert latest_step(ckpt_dir) == 25
+
+
+def test_white_bkgd_compositing(tiny_ds, tmp_path):
+    """white_bkgd composites RGBA sources over white in the device store
+    (regression: a black background lets an opaque black-fog 'curtain'
+    match the data with no 3D structure — observed at flagship dims)."""
+    import dataclasses
+    import imageio.v2 as imageio
+
+    _, ds, K = tiny_ds
+    rgba = np.zeros((24, 24, 4), np.uint8)
+    rgba[6:18, 6:18] = (200, 100, 50, 255)  # opaque square, transparent bg
+    p = str(tmp_path / "rgba.png")
+    imageio.imwrite(p, rgba)
+    ds2 = dataclasses.replace(
+        ds, image_paths={int(ds.i_split[0][0]): p, **{
+            int(i): ds.image_paths[int(i)] for i in ds.i_split[0][1:]}})
+
+    idx = ds.i_split[0]
+    dd_b, _ = build_device_dataset(ds2, K, idx, uv_size=32)
+    dd_w, _ = build_device_dataset(ds2, K, idx, uv_size=32, white_bkgd=True)
+    assert (np.asarray(dd_b.images[0][0, 0]) == 0).all()
+    assert (np.asarray(dd_w.images[0][0, 0]) == 255).all()
+    # foreground pixels identical in both modes
+    np.testing.assert_array_equal(np.asarray(dd_b.images[0][12, 12]),
+                                  np.asarray(dd_w.images[0][12, 12]))
