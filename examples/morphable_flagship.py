@@ -201,8 +201,9 @@ def evaluate(args, cfg) -> None:
         gallery.append(np.concatenate([gt, np.clip(out, 0, 1)], axis=0))
 
     os.makedirs(os.path.dirname(args.out_json) or ".", exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.out_json))[0]
     imageio.imwrite(os.path.join(os.path.dirname(args.out_json),
-                                 "morphable_flagship_gallery.png"),
+                                 f"{stem}_gallery.png"),
                     to8b(np.concatenate(gallery, axis=1)))
 
     # ---- 2. cross-identity leakage: id A's held-out camera, id B's codes
@@ -253,7 +254,7 @@ def evaluate(args, cfg) -> None:
         print(f"interp t={t}: {interp[-1]['psnr_vs_gt_interp']:.2f} dB vs "
               "true intermediate face")
     imageio.imwrite(os.path.join(os.path.dirname(args.out_json),
-                                 "morphable_flagship_interp.png"),
+                                 f"{stem}_interp.png"),
                     to8b(np.concatenate(strip, axis=1)))
 
     # ---- 4. expression control on a held-out identity view

@@ -266,6 +266,7 @@ def main(argv=None) -> None:
             near=near, far=far,
             n_samples=args.n_samples, packet_size=pkt,
             aabb_min=aabb_min, aabb_max=aabb_max,
+            white_bkgd=spec.render.white_bkgd,
             hit_fraction=1.0, fused=fused,
         )["rgb"])
         if avatar_ids:
