@@ -84,6 +84,30 @@ def estimate_device_bytes(n_images: int, H: int, W: int,
             + n_uv * uv_size * uv_size * 3 * 4)
 
 
+def _fg_mask(path: str, img: np.ndarray, half_res: bool,
+             white_bkgd: bool) -> Optional[np.ndarray]:
+    """Foreground mask for the fg-bias reservoir. Prefers the source alpha
+    channel (RGBA dataset frames); falls back to a brightness threshold on
+    the composited RGB only when that threshold is meaningful (black
+    background). Returns None when no usable mask exists — the caller then
+    degrades to bias='none' (logged by the train loop) instead of silently
+    baking a uniform reservoir."""
+    import imageio.v2 as imageio
+
+    raw = np.asarray(imageio.imread(path))
+    if raw.ndim == 3 and raw.shape[-1] == 4:
+        a = raw[..., 3].astype(np.float32) / 255.0
+        if half_res:
+            import cv2
+
+            a = cv2.resize(a, (a.shape[1] // 2, a.shape[0] // 2),
+                           interpolation=cv2.INTER_AREA)
+        return a > 0.02
+    if not white_bkgd:
+        return img.sum(-1) > 0.02
+    return None
+
+
 def build_device_dataset(
     ds,                              # data.facescape.FacescapeDataset
     K: np.ndarray,
@@ -115,12 +139,18 @@ def build_device_dataset(
             lm2d[k] = project_landmarks(lm3, K, ds.poses[int(i)]).astype(
                 np.float32)
         else:
-            r, c = np.nonzero(img.sum(-1) > 0.02)
-            if r.shape[0] > 0:
-                pick = rng.integers(0, r.shape[0], fg_reservoir)
-                fg[k, :, 0] = r[pick]
-                fg[k, :, 1] = c[pick]
-                has_fg = True
+            # foreground mask: the source alpha channel when available —
+            # thresholding the white-composited RGB would pass EVERY pixel
+            # under white_bkgd and silently bake a uniform reservoir
+            mask = _fg_mask(ds.image_paths[int(i)], img, half_res,
+                            white_bkgd)
+            if mask is not None:
+                r, c = np.nonzero(mask)
+                if r.shape[0] > 0:
+                    pick = rng.integers(0, r.shape[0], fg_reservoir)
+                    fg[k, :, 0] = r[pick]
+                    fg[k, :, 1] = c[pick]
+                    has_fg = True
     if bias == "fg" and not has_fg:
         bias = "none"
 
@@ -200,8 +230,11 @@ def sample_batch_device(
         rows_b, cols_b = rows_u, cols_u
 
     use_b = jax.random.uniform(k_mask, (n,)) < frac
-    rows = jnp.clip(jnp.where(use_b, rows_b, rows_u), 0, H - 1)
-    cols = jnp.clip(jnp.where(use_b, cols_b, cols_u), 0, W - 1)
+    # floor BEFORE ray generation so the ray and the gathered supervision
+    # pixel agree exactly (the host TrainRaySampler casts to int before
+    # both; the landmark-biased branch produces continuous coords)
+    rows = jnp.floor(jnp.clip(jnp.where(use_b, rows_b, rows_u), 0, H - 1))
+    cols = jnp.floor(jnp.clip(jnp.where(use_b, cols_b, cols_u), 0, W - 1))
     coords = jnp.stack([rows, cols], axis=-1)
 
     pose = dd.poses[img_i]

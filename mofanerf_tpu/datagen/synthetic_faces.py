@@ -12,9 +12,11 @@ demonstrated on a procedurally generated family of face-LIKE heads:
   code -> geometry map is smooth by construction and identity interpolation
   sweeps are meaningful (the analog of FaceScape's bilinear identity
   factors, factors_id.npy).
-- Expressions are shared deformation triples (jaw-open, smile, brow-raise)
-  applied on top of any identity — the analog of FaceScape's 20 expression
-  scans driving the learned expression latents.
+- Expressions are shared deformations on 8 axes (jaw/smile/brow/shift/
+  pucker/cheek/eye/fwd) applied on top of any identity; all 20 FaceScape
+  expression ids ship with distinct axis combinations (EXPRESSION_PARAMS) —
+  the analog of FaceScape's 20 expression scans driving the learned
+  expression latents (reference models/render_class.py:53-58).
 - Geometry: a lat-long sphere displaced by anisotropic angular Gaussian
   features; albedo: skin tone + lip/eye/brow recoloring from the same
   feature masks; the UV texture map is the spherical unwrap of that albedo
@@ -38,16 +40,55 @@ import numpy as np
 N_ID_PARAMS = 10
 SHAPE_CODE_DIM = 50
 
-# Expression id -> (jaw_open, smile, brow_raise), matching the reference's
-# FaceScape expression-id semantics where applicable
-# (data/facescape.py EXPRESSION_NAMES: 0=neutral, 1=smile, 2=mouth_stretch,
-# 18=brow_raiser).
-EXPRESSION_PARAMS: Dict[int, Tuple[float, float, float]] = {
-    0: (0.0, 0.0, 0.0),     # neutral
-    1: (0.15, 1.0, 0.35),   # smile
-    2: (1.0, 0.0, 0.15),    # mouth_stretch (jaw open)
-    18: (0.0, 0.1, 1.0),    # brow_raiser
+# Expression axes. Each expression id maps to a point on these 8 deformation
+# axes; ids follow the reference's FaceScape semantics
+# (data/facescape.py EXPRESSION_NAMES; the reference trains ONE latent per
+# id, models/render_class.py:53-58). Axes:
+#   jaw    [0..1]  jaw open (mouth taller, chin drops, head elongates)
+#   smile  [-1..1] mouth corners up (+) / down (-), mouth widens with +
+#   brow   [-1..1] brows raised (+) / lowered+furrowed (-)
+#   shift  [-1..1] lateral jaw/mouth shift (- = subject's left)
+#   pucker [-1..1] lips puckered/protruding (+) / rolled thin (-)
+#   cheek  [0..1]  cheeks blown out
+#   eye    [0..1]  eyes closed (sockets smooth out, eye color fades to skin)
+#   fwd    [0..1]  jaw/chin thrust forward
+# Expressions 0/1/2/18 keep the exact values the round-3 datasets were
+# generated with (new axes are constructed to vanish at 0, so those four
+# meshes are bit-identical to the 3-axis model).
+EXP_AXES = ("jaw", "smile", "brow", "shift", "pucker", "cheek", "eye", "fwd")
+
+EXPRESSION_PARAMS: Dict[int, Tuple[float, ...]] = {
+    #    jaw  smile  brow shift pucker cheek  eye  fwd
+    0:  (0.0,  0.0,  0.0,  0.0,  0.0,  0.0,  0.0, 0.0),   # neutral
+    1:  (0.15, 1.0,  0.35, 0.0,  0.0,  0.0,  0.0, 0.0),   # smile
+    2:  (1.0,  0.0,  0.15, 0.0,  0.0,  0.0,  0.0, 0.0),   # mouth_stretch
+    3:  (0.1, -0.6, -1.0,  0.0,  0.0,  0.0,  0.2, 0.0),   # anger
+    4:  (0.35, 0.0,  0.0, -1.0,  0.0,  0.0,  0.0, 0.0),   # jaw_left
+    5:  (0.35, 0.0,  0.0,  1.0,  0.0,  0.0,  0.0, 0.0),   # jaw_right
+    6:  (0.25, 0.0,  0.0,  0.0,  0.0,  0.0,  0.0, 1.0),   # jaw_forward
+    7:  (0.05, 0.2,  0.0, -0.8,  0.0,  0.0,  0.0, 0.0),   # mouth_left
+    8:  (0.05, 0.2,  0.0,  0.8,  0.0,  0.0,  0.0, 0.0),   # mouth_right
+    9:  (0.05, 0.7,  0.0,  0.0, -0.8,  0.0,  0.0, 0.0),   # dimpler
+    10: (0.0, -0.3,  0.0,  0.0,  0.3,  0.0,  0.0, 0.6),   # chin_raiser
+    11: (0.1,  0.0,  0.0,  0.0,  1.0,  0.0,  0.0, 0.0),   # lip_puckerer
+    12: (0.45, 0.0,  0.0,  0.0,  0.8,  0.0,  0.0, 0.0),   # lip_funneler
+    13: (0.05, -1.0, 0.25, 0.0,  0.0,  0.0,  0.15, 0.0),  # sadness
+    14: (0.05, 0.0,  0.0,  0.0, -1.0,  0.0,  0.0, 0.0),   # lip_roll
+    15: (0.1,  0.8,  0.1,  0.0, -0.6,  0.0,  0.0, 0.0),   # grin
+    16: (0.05, 0.0,  0.0,  0.0,  0.5,  1.0,  0.0, 0.0),   # cheek_blowing
+    17: (0.0,  0.0, -0.1,  0.0,  0.0,  0.0,  1.0, 0.0),   # eye_closed
+    18: (0.0,  0.1,  1.0,  0.0,  0.0,  0.0,  0.0, 0.0),   # brow_raiser
+    19: (0.05, -0.1, -1.0, 0.0,  0.0,  0.0,  0.3, 0.0),   # brow_lower
 }
+
+
+def _exp_vec(e) -> np.ndarray:
+    """Normalize an expression spec (id already resolved to a tuple) to the
+    8-axis vector; legacy 3-tuples (jaw, smile, brow) pad with zeros."""
+    v = np.zeros(len(EXP_AXES), np.float64)
+    e = np.asarray(e, np.float64).reshape(-1)
+    v[: e.shape[0]] = e
+    return v
 
 _HEAD_RADIUS = 2.0  # world units (head diameter ~4 = 200 mm / 50, the
                     # reference world scale, run_fit.py:142 scale=50)
@@ -78,37 +119,46 @@ def _feature_fields(a: np.ndarray, b: np.ndarray, p: np.ndarray, e) -> dict:
     """Evaluate the displacement + color-mask fields at angular coords.
 
     a: azimuth about +y measured from +z (front), b: elevation.
-    p: [N_ID_PARAMS]; e: (jaw_open, smile, brow_raise).
+    p: [N_ID_PARAMS]; e: expression on the EXP_AXES (3-tuples pad to 0).
     Returns dict with 'bump' (radial multiplier delta) and per-feature
-    color masks."""
-    jaw, smile, brow_raise = e
+    color masks. Every expression term vanishes at axis value 0, so the
+    legacy (jaw, smile, brow) triples reproduce the round-3 fields
+    exactly."""
+    jaw, smile, brow_raise, shift, pucker, cheek, eye, fwd = _exp_vec(e)
 
     nose = _gauss(a, 0.0, 0.22 * (1 + 0.3 * p[4]), b, -0.08, 0.26)
     eye_sp = 0.42 * (1 + 0.25 * p[6])
+    eye_open = 1.0 - 0.85 * eye
     eyes = _gauss(a, eye_sp, 0.16, b, 0.30, 0.12) + _gauss(a, -eye_sp, 0.16, b, 0.30, 0.12)
-    mouth_w = 0.34 * (1 + 0.25 * p[7]) + 0.14 * smile
-    mouth_h = 0.10 + 0.14 * jaw
-    mouth = _gauss(a, 0.0, mouth_w, b, -0.50, mouth_h)
-    corners = (_gauss(a, mouth_w, 0.10, b, -0.46, 0.08)
-               + _gauss(a, -mouth_w, 0.10, b, -0.46, 0.08))
+    a_m = 0.18 * shift                       # lateral mouth/jaw center
+    mouth_w = ((0.34 * (1 + 0.25 * p[7]) + 0.14 * smile)
+               * (1 - 0.30 * max(pucker, 0.0)) * (1 - 0.25 * cheek))
+    mouth_h = (0.10 + 0.14 * jaw) * (1 - 0.30 * max(-pucker, 0.0))
+    mouth = _gauss(a, a_m, mouth_w, b, -0.50, mouth_h)
+    corners = (_gauss(a, a_m + mouth_w, 0.10, b, -0.46, 0.08)
+               + _gauss(a, a_m - mouth_w, 0.10, b, -0.46, 0.08))
+    lips = _gauss(a, a_m, max(mouth_w * 0.7, 0.10), b, -0.50, 0.10)
     brow_b = 0.50 + 0.05 * brow_raise
     brows = (_gauss(a, eye_sp, 0.22, b, brow_b, 0.07)
              + _gauss(a, -eye_sp, 0.22, b, brow_b, 0.07))
+    furrow = _gauss(a, 0.0, 0.12, b, 0.42, 0.10)
     cheeks = (_gauss(a, 0.70, 0.26, b, -0.12, 0.22)
               + _gauss(a, -0.70, 0.26, b, -0.12, 0.22))
-    chin = _gauss(a, 0.0, 0.30, b, -0.95, 0.28)
+    chin = _gauss(a, 0.10 * shift, 0.30, b, -0.95, 0.28)
 
     bump = (
         0.30 * (1 + 0.40 * p[3]) * nose
-        - 0.10 * (1 + 0.50 * p[5]) * eyes
+        - 0.10 * (1 + 0.50 * p[5]) * eye_open * eyes
         - (0.07 + 0.18 * jaw) * mouth
         + 0.10 * smile * corners
+        + 0.16 * pucker * lips
         + 0.06 * (1 + 0.6 * p[9] + 1.4 * brow_raise) * brows
-        + 0.09 * (0.5 + 0.5 * p[8]) * cheeks
-        + (0.06 + 0.16 * jaw) * chin
+        + 0.10 * max(-brow_raise, 0.0) * furrow
+        + (0.09 * (0.5 + 0.5 * p[8]) + 0.22 * cheek) * cheeks
+        + (0.06 + 0.16 * jaw + 0.18 * fwd) * chin
     )
-    return {"bump": bump, "nose": nose, "eyes": eyes, "mouth": mouth,
-            "brows": brows, "cheeks": cheeks}
+    return {"bump": bump, "nose": nose, "eyes": eyes * eye_open,
+            "mouth": mouth, "brows": brows, "cheeks": cheeks}
 
 
 def _albedo_at(a: np.ndarray, b: np.ndarray, p: np.ndarray, e) -> np.ndarray:
@@ -211,8 +261,11 @@ def face_uv_map(p: np.ndarray, expression: int = 0, size: int = 512) -> np.ndarr
 # 68-landmark layout: (azimuth, elevation) anchors in the standard
 # jaw(17) / brows(10) / nose(9) / eyes(12) / mouth(20) order.
 def _landmark_angles(p: np.ndarray, e) -> np.ndarray:
+    e = _exp_vec(e)
     eye_sp = 0.42 * (1 + 0.25 * p[6])
-    mouth_w = 0.34 * (1 + 0.25 * p[7]) + 0.14 * e[1]
+    a_m = 0.18 * e[3]
+    mouth_w = ((0.34 * (1 + 0.25 * p[7]) + 0.14 * e[1])
+               * (1 - 0.30 * max(e[4], 0.0)) * (1 - 0.25 * e[5]))
     brow_b = 0.50 + 0.05 * e[2]
     pts = []
     # jawline: arc from left ear to right ear through the chin
@@ -231,10 +284,11 @@ def _landmark_angles(p: np.ndarray, e) -> np.ndarray:
             pts.append((side * eye_sp + 0.13 * np.cos(ang), 0.30 + 0.07 * np.sin(ang)))
     for k in range(12):  # outer lip ellipse
         ang = 2 * np.pi * k / 12
-        pts.append((mouth_w * np.cos(ang), -0.50 + (0.10 + 0.08 * e[0]) * np.sin(ang)))
+        pts.append((a_m + mouth_w * np.cos(ang),
+                    -0.50 + (0.10 + 0.08 * e[0]) * np.sin(ang)))
     for k in range(8):  # inner lip ellipse
         ang = 2 * np.pi * k / 8
-        pts.append((0.6 * mouth_w * np.cos(ang), -0.50 + 0.05 * np.sin(ang)))
+        pts.append((a_m + 0.6 * mouth_w * np.cos(ang), -0.50 + 0.05 * np.sin(ang)))
     return np.asarray(pts, np.float64)  # [68, 2]
 
 

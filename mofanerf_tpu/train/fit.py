@@ -72,6 +72,13 @@ class FitConfig:
     change_epoch: tuple = (0, 600, 1000, 1300, 1500)
     ckpt_every: int = 100
     preview_every: int = 500
+    # pose stays frozen for the first `pose_freeze_iters` steps so the codes
+    # first explain the image at the init pose; afterwards the pose gradient
+    # tracks residual geometric misalignment instead of appearance error
+    # (measured round 3: co-optimizing from step 0 let codes absorb the
+    # init pose error and DRIFT the rotation 5.9->19.9 deg,
+    # artifacts/fit_quality.json)
+    pose_freeze_iters: int = 0
 
 
 def fit_lr_schedule(base_lr: float, n_iters: int, decreased_by: float = 1.1):
@@ -146,6 +153,22 @@ def load_code_stats(path: str):
     )
 
 
+def project_pose_so3(pose: jnp.ndarray) -> jnp.ndarray:
+    """Retract a 4x4 c2w onto the rigid-motion manifold: rotation block to
+    the nearest element of SO(3) (polar projection via SVD), bottom row
+    pinned to [0,0,0,1]. The reference optimizes the raw 4x4 with Adam
+    (run_fit.py:116-127,217-219); unconstrained, the per-element adaptive
+    steps shear/scale the rotation block and the latent codes absorb the
+    resulting non-rigid error — measured as rotation error GROWING during
+    fitting (5.9 -> 19.9 deg, artifacts/fit_quality.json round 3)."""
+    R = pose[:3, :3]
+    u, _, vt = jnp.linalg.svd(R, full_matrices=False)
+    det = jnp.linalg.det(u @ vt)
+    Rp = u @ (jnp.stack([jnp.ones(()), jnp.ones(()), det])[:, None] * vt)
+    pose = pose.at[:3, :3].set(Rp)
+    return pose.at[3].set(jnp.asarray([0.0, 0.0, 0.0, 1.0], pose.dtype))
+
+
 def fit_step(
     model_params: Params,
     spec: MoFaNeRF,
@@ -154,8 +177,12 @@ def fit_step(
     coords: jnp.ndarray,       # [N, 2] float (row, col) at current pyramid scale
     target_rgb: jnp.ndarray,   # [N, 3]
     K: jnp.ndarray,            # [3, 3] intrinsics at current pyramid scale
+    pose_freeze_iters: int = 0,
 ):
-    """One fitting step; model params are frozen, only codes optimize."""
+    """One fitting step; model params are frozen, only codes optimize. The
+    pose leaf lives on SE(3): its gradient is masked for the first
+    `pose_freeze_iters` steps, and every update is retracted back onto the
+    manifold (project_pose_so3)."""
 
     def loss_fn(codes: FitCodes):
         rays_o, rays_d = get_rays_at(coords, K, codes.pose)
@@ -164,8 +191,12 @@ def fit_step(
         return jnp.mean(jnp.abs(codes.light[0] * out["rgb"] - target_rgb))
 
     loss, grads = jax.value_and_grad(loss_fn)(state.codes)
+    if pose_freeze_iters > 0:
+        live = (state.step >= pose_freeze_iters).astype(grads.pose.dtype)
+        grads = grads._replace(pose=grads.pose * live)
     updates, new_opt = tx.update(grads, state.opt_state, state.codes)
     new_codes = optax.apply_updates(state.codes, updates)
+    new_codes = new_codes._replace(pose=project_pose_so3(new_codes.pose))
     return FitState(new_codes, new_opt, state.step + 1), loss
 
 

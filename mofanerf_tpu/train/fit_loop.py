@@ -121,7 +121,8 @@ def fit(
 
     sampler = FitRaySampler(kp2d, cfg.H)
     step_jit = jax.jit(
-        lambda s, c, t, k: fit_step(model_params, spec, tx, s, c, t, k)
+        lambda s, c, t, k: fit_step(model_params, spec, tx, s, c, t, k,
+                                    pose_freeze_iters=cfg.pose_freeze_iters)
     )
 
     K_full = np.array(

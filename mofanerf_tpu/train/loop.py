@@ -286,18 +286,26 @@ def _train_device_data(cfg, spec, state, tx, ds, K, landmarks, logger,
     t0 = time.time()
     i = start
     while i < n_total:
+        prev = i
         c = min(C - i % C, n_total - i)
         state, metrics = run_chunk(state, jnp.asarray(i, jnp.int32), c)
         i += c
 
+        def crossed(v: int) -> bool:
+            """Interval hook fires when the chunk CROSSED a multiple of v,
+            not only when a boundary lands exactly on one — a user-set
+            scan_steps that does not divide the interval must not silently
+            skip prints/checkpoints/eval renders."""
+            return v > 0 and (i // v) > (prev // v)
+
         if (grid_update_fn is not None and i >= cfg.grid_warmup
-                and cfg.i_grid > 0 and i % cfg.i_grid == 0):
+                and crossed(cfg.i_grid)):
             gkey = jax.random.fold_in(jax.random.fold_in(base_key, i), 2)
             gbatch = sample_jit(jnp.asarray(i, jnp.int32), gkey)
             grid, density_ema = grid_update_fn(
                 state.params, gbatch, grid, density_ema)
 
-        if i % cfg.i_print == 0:
+        if crossed(cfg.i_print):
             loss = float(metrics["loss"])
             psnr = float(metrics["psnr"])
             rate = (i - start) / (time.time() - t0)
@@ -305,17 +313,17 @@ def _train_device_data(cfg, spec, state, tx, ds, K, landmarks, logger,
                   f"it/s {rate:.2f}")
             logger.write(i, Loss=loss, PSNR=psnr)
 
-        if i % cfg.i_weights == 0:
+        if crossed(cfg.i_weights):
             path = save_checkpoint(ckpt_dir, state, i)
             if grid is not None:
                 save_grid(grid_path, grid, density_ema)
             logger.note(f"checkpoint saved: {path}")
 
-        if i % cfg.i_testset == 0 and len(ds.i_split[2]) > 0:
+        if crossed(cfg.i_testset) and len(ds.i_split[2]) > 0:
             _render_test_image(cfg, spec, state, ds, K, rng_eval, exp_dir,
                                i, uv_cache)
 
-        if i % cfg.i_video == 0:
+        if crossed(cfg.i_video):
             _render_orbit_video(cfg, spec, state, ds, rng_eval, exp_dir, i,
                                 uv_cache)
 

@@ -211,3 +211,28 @@ def test_make_face_dataset_layout(tmp_path):
     # landmarks live on the head (world units after /50)
     r = np.linalg.norm(lms[0, 0] / 50.0, axis=-1)
     assert (r > 1.0).all() and (r < 4.0).all()
+
+
+def test_expression_bank_20_distinct_and_legacy_exact():
+    """All 20 FaceScape expression ids produce pairwise-distinct deformation
+    fields, and ids 0/1/2/18 reproduce the legacy 3-axis triples EXACTLY
+    (the round-3 faces8 datasets must stay renderable bit-identically)."""
+    from mofanerf_tpu.datagen.synthetic_faces import (
+        EXPRESSION_PARAMS, _feature_fields)
+
+    assert sorted(EXPRESSION_PARAMS) == list(range(20))
+    a = np.linspace(-1.2, 1.2, 41)
+    b = np.linspace(-1.0, 1.0, 41)
+    A, B = np.meshgrid(a, b)
+    p = np.random.default_rng(0).normal(size=10)
+    bumps = {e: _feature_fields(A, B, p, v)["bump"]
+             for e, v in EXPRESSION_PARAMS.items()}
+    for e1 in range(20):
+        for e2 in range(e1 + 1, 20):
+            d = np.abs(bumps[e1] - bumps[e2]).max()
+            assert d > 1e-3, f"expressions {e1}/{e2} degenerate ({d})"
+    legacy = {0: (0.0, 0.0, 0.0), 1: (0.15, 1.0, 0.35),
+              2: (1.0, 0.0, 0.15), 18: (0.0, 0.1, 1.0)}
+    for e, tri in legacy.items():
+        d = np.abs(bumps[e] - _feature_fields(A, B, p, tri)["bump"]).max()
+        assert d == 0.0, f"legacy expression {e} drifted ({d})"

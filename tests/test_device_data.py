@@ -170,3 +170,78 @@ def test_white_bkgd_compositing(tiny_ds, tmp_path):
     # foreground pixels identical in both modes
     np.testing.assert_array_equal(np.asarray(dd_b.images[0][12, 12]),
                                   np.asarray(dd_w.images[0][12, 12]))
+
+
+def test_fg_mask_sources(tmp_path):
+    """_fg_mask prefers the source alpha; falls back to brightness only on
+    black backgrounds; yields None (-> bias degrades to 'none') when the
+    composited-white image is all that exists (ADVICE r3)."""
+    import imageio.v2 as imageio
+
+    from mofanerf_tpu.data.device_data import _fg_mask
+
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[2:6, 2:6] = [200, 100, 50, 255]
+    p_rgba = str(tmp_path / "a.png")
+    p_rgb = str(tmp_path / "b.png")
+    imageio.imwrite(p_rgba, rgba)
+    imageio.imwrite(p_rgb, rgba[..., :3])
+
+    white_comp = np.ones((8, 8, 3), np.float32)
+    m = _fg_mask(p_rgba, white_comp, half_res=False, white_bkgd=True)
+    assert m is not None and int(m.sum()) == 16
+    assert _fg_mask(p_rgb, white_comp, half_res=False, white_bkgd=True) is None
+    m3 = _fg_mask(p_rgb, rgba[..., :3].astype(np.float32) / 255.0,
+                  half_res=False, white_bkgd=False)
+    assert m3 is not None and int(m3.sum()) == 16
+
+
+def test_sampler_landmark_coords_integer(tiny_ds):
+    """Landmark-biased rays must go through INTEGER pixel coords so the ray
+    and the gathered supervision pixel agree (ADVICE r3: the continuous
+    jittered coords gave up to ~1 px misalignment)."""
+    _, ds, K = tiny_ds
+    idx = ds.i_split[0]
+    lms = np.zeros((2, 20, 68, 3), np.float32)
+    dd, bias = build_device_dataset(ds, K, idx, landmarks=lms, uv_size=32)
+    scfg = DeviceSamplerConfig(
+        n_rand=256, H=24, W=24, precrop_iters=0, precrop_frac=0.5,
+        lm_frac=1.0, lm_frac_anneal_iters=0, bias=bias)
+    b = sample_batch_device(dd, jnp.asarray(K), jnp.asarray(100),
+                            jax.random.PRNGKey(2), scfg)
+    # recover (row, col) from each ray dir: invert get_rays_at for the pose
+    # used; cheaper: every target must exactly equal a stored pixel (integer
+    # gather on integer coords)
+    imgs = np.asarray(dd.images, np.float32) / 255.0
+    flat = imgs.reshape(-1, 3)
+    t = np.asarray(b.target_rgb)
+    for row in t[:16]:
+        assert np.abs(flat - row).sum(-1).min() < 1e-6
+
+
+def test_device_loop_interval_crossing(tiny_ds, tmp_path):
+    """scan_steps that do NOT divide i_weights must still produce the
+    intermediate checkpoints (hooks fire on boundary CROSSINGS, not exact
+    multiples — ADVICE r3 medium)."""
+    d, ds, K = tiny_ds
+    from mofanerf_tpu.config import Config
+    from mofanerf_tpu.train.loop import train
+    from mofanerf_tpu.train.checkpoint import latest_step
+
+    cfg = Config(
+        expname="dd_cross", basedir=str(tmp_path), datadir=str(d),
+        uvdir=str(d / "uv"), shape_codes_path=str(d / "factors_id.npy"),
+        person_num=2, netdepth=2, netwidth=8, netdepth_fine=2,
+        netwidth_fine=8, N_samples=4, N_importance=4, N_rand=64,
+        precrop_iters=4, lm_frac_anneal_iters=8, compute_dtype="float32",
+        uv_size=128, packet_size=256, i_print=10, i_weights=10,
+        i_testset=10 ** 9, i_video=10 ** 9, i_grid=0,
+        device_data=True, scan_steps=7, testskip=1,
+    )
+    train(cfg, n_iters=20)
+    ckpt_dir = os.path.join(str(tmp_path), "dd_cross", "checkpoints")
+    assert latest_step(ckpt_dir) == 20
+    # the i=14 chunk boundary crossed the 10-multiple: an intermediate
+    # checkpoint must exist (round-3 code skipped ALL of them)
+    steps = sorted(int(s) for s in os.listdir(ckpt_dir) if s.isdigit())
+    assert any(s < 20 for s in steps), steps
