@@ -67,19 +67,26 @@ def _unit_rays(key, n):
     return jnp.zeros((n, 3)), d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
-def _timed(loop_fn, *args, k=K_INNER):
+def _timed(loop_fn, *args, k=K_INNER, reps=3):
+    """Best-of-`reps` wall time per inner iteration. The relay adds a fixed
+    ~0.2 s dispatch+readback cost per call and occasional scheduling noise;
+    min-of-3 measures the sustained device rate, which is what the
+    rays/s headline claims."""
     float(loop_fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop_fn(*args))
-    return (time.perf_counter() - t0) / k
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(loop_fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / k
 
 
-def _ray_loop(render_one):
+def _ray_loop(render_one, k=K_INNER):
     @jax.jit
     def loop(o, d):
         def body(i, acc):
             return acc + jnp.sum(render_one(o + i * 1e-6, d))
-        return jax.lax.fori_loop(0, K_INNER, body, 0.0)
+        return jax.lax.fori_loop(0, k, body, 0.0)
 
     return loop
 
@@ -102,10 +109,13 @@ def main() -> None:
     sp, sc = init_point_field(jax.random.PRNGKey(0), SERVE_CFG)
 
     n64 = 65536
+    K_HEAD = 64  # headline runs 64 renders per readback: the fixed ~0.2 s
+    #              relay dispatch cost must not eat into a ~1 s measurement
     ro, rd = _unit_rays(jax.random.PRNGKey(1), n64)
     loop_f32 = _ray_loop(lambda o, d: render_rays_bounded_fused(
-        sp, SERVE_CFG, o, d, NEAR, FAR, 32, AABB_MIN, AABB_MAX)["rgb"])
-    serve32 = n64 / _timed(loop_f32, ro, rd)
+        sp, SERVE_CFG, o, d, NEAR, FAR, 32, AABB_MIN, AABB_MAX)["rgb"],
+        k=K_HEAD)
+    serve32 = n64 / _timed(loop_f32, ro, rd, k=K_HEAD)
 
     loop_f16 = _ray_loop(lambda o, d: render_rays_bounded_fused(
         sp, SERVE_CFG, o, d, NEAR, FAR, 16, AABB_MIN, AABB_MAX)["rgb"])

@@ -96,6 +96,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/mofanerf_distill_scenes")
     p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--teacher_lr", type=float, default=5e-4,
+                   help="teacher lr; 1e-3 measurably collapses 2 of 3 "
+                        "scenes (round-3 artifact), 5e-4 + softplus sigma "
+                        "holds all three")
     p.add_argument("--distill_steps", type=int, default=3000)
     p.add_argument("--res", type=int, default=64)
     p.add_argument("--width", type=int, default=64)
@@ -152,24 +156,25 @@ def main() -> None:
                      np.float32)
         Kj = jnp.asarray(K)
 
-        # white_bkgd is load-bearing: with black backgrounds, an empty (or
-        # black-fog) field matches most pixels for free and thin/concave
-        # scenes collapse into that basin (observed: teacher PSNR falling
-        # to ~7.5 dB and a "student matches empty teacher at 100 dB"
-        # degenerate artifact). Compositing targets AND renders over white
-        # makes emptiness visible and removes the degenerate optimum.
+        # Two collapse defenses, both measured (round 2/3):
+        # - white_bkgd: with black backgrounds an empty (or black-fog) field
+        #   matches most pixels for free and thin/concave scenes collapse
+        #   into that basin (teacher ~7.5 dB, "student matches empty teacher
+        #   at 100 dB" degenerate rows).
+        # - softplus sigma: relu's dead zone is an absorbing state — once
+        #   raw sigma goes negative everywhere the density gradient is
+        #   exactly zero and the field can never recover
+        #   (artifacts/lm_anneal.json). softplus keeps the recovery
+        #   gradient alive, so a transiently-emptied scene climbs back out.
         spec = MoFaNeRF(
             coarse=FieldConfig(depth=8, width=args.width),
             fine=FieldConfig(depth=8, width=args.width * 2),
             render=RenderConfig(n_coarse=32, n_importance=32,
                                 packet_size=4096, raw_noise_std=1.0,
-                                white_bkgd=True),
+                                white_bkgd=True,
+                                sigma_activation="softplus"),
             uv_size=128,
         )
-        state = create_train_state(jax.random.PRNGKey(sid), spec, lrate=1e-3)
-        tx = make_optimizer(lrate=1e-3)
-        step_fn = jax.jit(lambda s, b, k, _spec=spec, _tx=tx:
-                          train_step(s, b, k, _spec, _tx))
 
         rng = np.random.default_rng(sid)
         uv = jnp.full((128, 128, 3), 0.5)
@@ -203,28 +208,59 @@ def main() -> None:
                          jnp.asarray(target[coords[:, 0], coords[:, 1]]),
                          jnp.zeros(50), jnp.asarray(0), uv)
 
-        t0 = time.time()
-        for i in range(args.iters):
-            state, m = step_fn(state, batch_for(i), jax.random.PRNGKey(i))
-            if i % max(1, args.iters // 5) == 0:
-                print(f"[{name}] iter {i} psnr {float(m['psnr']):.2f} "
-                      f"({(i + 1) / (time.time() - t0):.1f} it/s)")
-
-        tex = encode_texture(state.params, spec, uv)
-        cond = prepare_conditioning(state.params, spec, jnp.zeros(50),
-                                    exp_code_for(state.params, 0), tex)
-
         test_ids = [int(i) for i in ds.i_split[2][:4]]
         teacher_frame = jax.jit(
             lambda p, c, pose, _spec=spec: render_frame(
                 p, _spec, c, H, W, Kj, pose)["rgb"])
-        t_renders, gts = {}, {}
-        for ti in test_ids:
-            t_renders[ti] = np.asarray(teacher_frame(
+        gts = {ti: load_white(ds.image_paths[ti])[0] for ti in test_ids}
+
+        def train_teacher(lr: float, seed: int):
+            state = create_train_state(jax.random.PRNGKey(seed), spec,
+                                       lrate=lr)
+            tx = make_optimizer(lrate=lr)
+            step_fn = jax.jit(lambda s, b, k, _spec=spec, _tx=tx:
+                              train_step(s, b, k, _spec, _tx))
+            t0 = time.time()
+            for i in range(args.iters):
+                state, m = step_fn(state, batch_for(i),
+                                   jax.random.fold_in(
+                                       jax.random.PRNGKey(seed), i))
+                if i % max(1, args.iters // 5) == 0:
+                    print(f"[{name}] iter {i} psnr {float(m['psnr']):.2f} "
+                          f"({(i + 1) / (time.time() - t0):.1f} it/s)")
+            tex = encode_texture(state.params, spec, uv)
+            cond = prepare_conditioning(state.params, spec, jnp.zeros(50),
+                                        exp_code_for(state.params, 0), tex)
+            t_renders = {ti: np.asarray(teacher_frame(
                 state.params, cond, jnp.asarray(ds.poses[ti][:3])))
-            gts[ti] = load_white(ds.image_paths[ti])[0]
-        teacher_gt_psnr = float(np.mean([psnr(t_renders[t], gts[t])
-                                         for t in test_ids]))
+                for ti in test_ids}
+            gt_psnr = float(np.mean([psnr(t_renders[t], gts[t])
+                                     for t in test_ids]))
+            return state, cond, t_renders, gt_psnr
+
+        # Convergence gate (VERDICT r3 weak #1): a teacher below the bar is
+        # a FAILED teacher — distilling it produces a vacuous "student
+        # matches an empty field" row, so retry once (new seed, gentler lr)
+        # and otherwise fail the study loudly instead of emitting garbage.
+        gate_db = 20.0 if not args.quick else 8.0
+        attempts = []
+        state, cond, t_renders, teacher_gt_psnr = train_teacher(
+            args.teacher_lr, seed=sid)
+        attempts.append({"lr": args.teacher_lr, "seed": sid,
+                         "teacher_psnr_vs_gt_db": round(teacher_gt_psnr, 2)})
+        if teacher_gt_psnr < gate_db:
+            print(f"[{name}] teacher FAILED gate ({teacher_gt_psnr:.1f} < "
+                  f"{gate_db} dB) — retrying at lr {args.teacher_lr / 4}")
+            state, cond, t_renders, teacher_gt_psnr = train_teacher(
+                args.teacher_lr / 4, seed=sid + 100)
+            attempts.append({"lr": args.teacher_lr / 4, "seed": sid + 100,
+                             "teacher_psnr_vs_gt_db":
+                                 round(teacher_gt_psnr, 2)})
+        if teacher_gt_psnr < gate_db:
+            raise RuntimeError(
+                f"scene {name!r}: teacher failed to converge in "
+                f"{len(attempts)} attempts ({attempts}); refusing to "
+                f"distill a collapsed field")
         teacher_gt_ssim = float(np.mean([
             float(ssim_fn(jnp.asarray(t_renders[t]), jnp.asarray(gts[t])))
             for t in test_ids]))
@@ -232,9 +268,11 @@ def main() -> None:
         dcfg = DistillConfig(
             arch="mlp", depth=4, width=128, multires=8,
             n_steps=args.distill_steps, aabb_min=aabb_min, aabb_max=aabb_max,
+            teacher_sigma_activation="softplus",
         ) if not args.quick else DistillConfig(
             arch="mlp", depth=3, width=32, multires=6, batch=1024,
             n_steps=args.distill_steps, aabb_min=aabb_min, aabb_max=aabb_max,
+            teacher_sigma_activation="softplus",
         )
         t0 = time.time()
         st, scfg = distill(state.params["fine"], spec.fine, cond.fine, dcfg,
@@ -267,6 +305,7 @@ def main() -> None:
                  for t in test_ids])), 4),
             "distill_sec": distill_sec,
             "n_verts": int(len(verts)), "n_faces": int(len(faces)),
+            "teacher_attempts": attempts,
         }
         scene_rows.append(row)
         print(f"[{name}] student vs teacher "
@@ -289,6 +328,9 @@ def main() -> None:
                      f"{args.n_samples} bounded samples",
         "device": str(jax.devices()[0]),
         "white_bkgd": True,
+        "sigma_activation": "softplus",
+        "teacher_lr": args.teacher_lr,
+        "teacher_gate_db": 20.0 if not args.quick else 8.0,
         "scenes": scene_rows,
         "psnr_vs_teacher_spread_db": [round(min(vs_t), 2), round(max(vs_t), 2)],
     }

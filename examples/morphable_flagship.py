@@ -93,6 +93,12 @@ def main() -> None:
                    help="eval GT raster resolution override (0 = dataset res)")
     p.add_argument("--out_json", default="artifacts/morphable_flagship.json")
     p.add_argument("--n_test_views", type=int, default=4)
+    p.add_argument("--exp_matrix_ids", type=int, default=0,
+                   help="if >0: render the first N identities under EVERY "
+                        "expression id in the trained bank and score each "
+                        "against a freshly rasterized GT of that (id, exp) "
+                        "face — the full expression-transfer matrix "
+                        "(VERDICT r3 #7)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -276,6 +282,44 @@ def evaluate(args, cfg) -> None:
         print(f"expression {exp}: own {expr[-1]['own_exp_psnr']:.2f} vs "
               f"wrong {expr[-1]['wrong_exp_psnr']:.2f} dB")
 
+    # ---- 5. expression-transfer matrix: every (identity, expression-code)
+    # pair, INCLUDING combinations absent from training views; GT is
+    # rasterized on demand (the generator is procedural, so the true face
+    # of any (id, exp) exists). Reference trains one latent per expression
+    # (models/render_class.py:53-58) — this measures that every slot
+    # actually controls the face.
+    exp_matrix = []
+    if args.exp_matrix_ids > 0:
+        bank = sorted(set(int(e) for e in ds.exp_types))
+        res = args.res or H
+        Kr = np.asarray(K) * (res / H)
+        Kr[2, 2] = 1.0
+        for pid in persons[: args.exp_matrix_ids]:
+            i0 = test_idx[pid][0]
+            pose_m = jnp.asarray(ds.poses[i0][:3])
+            row = {"id": pid, "per_exp": {}}
+            for exp in bank:
+                v, f, alb = face_mesh(face_params[pid], exp)
+                gt_m, _, mask_m = rasterize_mesh(
+                    v, f, Kr, np.asarray(ds.poses[i0]), res, res,
+                    face_albedo=alb)
+                if cfg.white_bkgd:
+                    gt_m = gt_m * mask_m[..., None] + (1.0 - mask_m[..., None])
+                out_m = np.asarray(render(cond_for(pid, exp), pose_m))
+                if res != H:
+                    import cv2
+
+                    out_m = cv2.resize(out_m, (res, res),
+                                       interpolation=cv2.INTER_AREA)
+                row["per_exp"][exp] = {"psnr": psnr(out_m, gt_m),
+                                       "ssim": ssim(out_m, gt_m)}
+            vals = [r["psnr"] for r in row["per_exp"].values()]
+            row["mean_psnr"] = float(np.mean(vals))
+            row["min_psnr"] = float(np.min(vals))
+            print(f"exp matrix id {pid}: mean {row['mean_psnr']:.2f} dB "
+                  f"min {row['min_psnr']:.2f} dB over {len(vals)} exps")
+            exp_matrix.append(row)
+
     result = {
         "study": "one flagship-dims model over a synthetic identity family",
         "model": {"coarse": [cfg.netdepth, cfg.netwidth],
@@ -297,6 +341,8 @@ def evaluate(args, cfg) -> None:
         "identity_interpolation": interp,
         "expression_control": expr,
     }
+    if exp_matrix:
+        result["expression_transfer_matrix"] = exp_matrix
     with open(args.out_json, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {args.out_json}")

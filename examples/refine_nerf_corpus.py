@@ -46,6 +46,16 @@ def main() -> None:
                    help="per-(id,exp) views held out of GAN training")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--use_vgg", type=int, default=1,
+                   help="train with the perceptual term (a FIXED random-init "
+                        "VGG19 — trainable perceptual loss when pretrained "
+                        "weights are unfetchable; round 3 ran without it "
+                        "and the GAN hallucinated texture, -1.0 dB)")
+    p.add_argument("--lambda_l1", type=float, default=10.0,
+                   help="L1 reconstruction anchor weight (0 = reference "
+                        "parity; see RefineConfig.lambda_l1)")
+    p.add_argument("--fast", action="store_true",
+                   help="occupancy-culled corpus rendering (~4x)")
     p.add_argument("--out_json", default="artifacts/refine_nerf_quality.json")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--quick", action="store_true")
@@ -102,7 +112,7 @@ def main() -> None:
         "--out_dir", renders_dir,
         "--exp_num", str(args.exp_num), "--view_num", str(args.view_num),
         "--res", str(args.res),
-    ] + cfg_flags)
+    ] + (["--fast"] if args.fast else []) + cfg_flags)
     prepare_main(["--renders_dir", renders_dir, "--out_dir", gt_dir]
                  + (["--white_bkgd"] if args.white_bkgd else []))
 
@@ -135,7 +145,8 @@ def main() -> None:
     print(f"GAN split: {len(train_pairs)} train / {len(test_pairs)} held-out")
 
     # ---- 3: GAN training on the NeRF's own artifacts
-    rcfg = RefineConfig(use_vgg=False,
+    rcfg = RefineConfig(use_vgg=bool(args.use_vgg),
+                        lambda_l1=args.lambda_l1,
                         ngf=16 if args.quick else 32,
                         n_blocks=3 if args.quick else 9,
                         n_downsampling=2 if args.quick else 4)
@@ -144,7 +155,17 @@ def main() -> None:
                               steps_per_epoch=steps_per_epoch,
                               image_size=args.res)
     g_tx, d_tx = make_refine_optimizers(rcfg, steps_per_epoch)
-    step = jax.jit(lambda s, a, b: refine_train_step(s, a, b, rcfg, g_tx, d_tx))
+    # training-time perceptual net: fixed random-init VGG19 (reference
+    # trains with pretrained VGG, run_train_refineNet-era pix2pixHD; weights
+    # unfetchable). Seed 7 — DISTINCT from the seed-42 eval proxy below, so
+    # the evaluation features are not the training objective.
+    train_vgg_params = None
+    if rcfg.use_vgg:
+        tvgg = VGG19Features()
+        train_vgg_params = tvgg.init(
+            jax.random.PRNGKey(7), jnp.zeros((1, args.res, args.res, 3)))
+    step = jax.jit(lambda s, a, b: refine_train_step(
+        s, a, b, rcfg, g_tx, d_tx, vgg_params=train_vgg_params))
 
     rng = np.random.default_rng(0)
 
@@ -216,6 +237,11 @@ def main() -> None:
                    "renders_dir": renders_dir},
         "generator": f"ngf={rcfg.ngf} n_blocks={rcfg.n_blocks} "
                      f"n_down={rcfg.n_downsampling} (pix2pixHD global)",
+        "loss": {"use_vgg": rcfg.use_vgg,
+                 "vgg_note": "fixed random-init VGG19, seed 7 (train) vs "
+                             "seed 42 (eval proxy) — independent nets",
+                 "lambda_l1": rcfg.lambda_l1,
+                 "lambda_feat": rcfg.lambda_feat},
         "steps": args.steps, "train_secs": train_secs,
         "heldout_input_psnr_db": mean("input_psnr_db"),
         "heldout_refined_psnr_db": mean("refined_psnr_db"),

@@ -46,6 +46,12 @@ class RefineConfig:
     beta1: float = 0.5
     lambda_feat: float = 10.0
     use_vgg: bool = True
+    # L1 reconstruction anchor on G's output (beyond reference parity,
+    # default off). On small corpora the GAN+featmatch objective alone can
+    # trade PSNR for texture hallucination (measured −1.0 dB on the round-3
+    # NeRF corpus, artifacts/refine_nerf_quality.json r3); a pixel anchor
+    # pins the identity solution while the adversarial terms add detail.
+    lambda_l1: float = 0.0
     niter: int = 19          # epochs at constant lr
     niter_decay: int = 1     # epochs of linear decay
     load_size: int = 512
@@ -121,7 +127,8 @@ def refine_train_step(
         loss_vgg = 0.0
         if cfg.use_vgg and vgg_params is not None:
             loss_vgg = cfg.lambda_feat * vgg_perceptual_loss(vgg, vgg_params, fake, real_b)
-        total = loss_gan + loss_feat + loss_vgg
+        loss_l1 = cfg.lambda_l1 * jnp.mean(jnp.abs(fake - real_b))
+        total = loss_gan + loss_feat + loss_vgg + loss_l1
         return total, (fake, loss_gan, loss_feat, loss_vgg)
 
     (g_total, (fake, l_gan, l_feat, l_vgg)), g_grads = jax.value_and_grad(
