@@ -41,6 +41,8 @@ def main() -> None:
     p.add_argument("--basedir", default="studydata/logs")
     p.add_argument("--expname", default="morphable_flagship")
     p.add_argument("--person", type=int, default=2)
+    p.add_argument("--n_ids", type=int, default=8,
+                   help="identity count of the trained checkpoint/dataset")
     p.add_argument("--expression", type=int, default=1)
     p.add_argument("--iters", type=int, default=2000)
     p.add_argument("--out_dir", default="studydata/fit_study")
@@ -87,7 +89,7 @@ def main() -> None:
         expname=args.expname, basedir=args.basedir, datadir=args.data,
         uvdir=os.path.join(args.data, "uv"),
         shape_codes_path=os.path.join(args.data, "factors_id.npy"),
-        person_num=8,
+        person_num=args.n_ids,
         white_bkgd=args.white_bkgd,
     )
     if args.small_model:
@@ -109,7 +111,7 @@ def main() -> None:
     params = state.params
 
     codes = load_shape_codes(cfg.shape_codes_path)
-    ds = load_facescape_data(cfg.datadir, list(range(8)), codes,
+    ds = load_facescape_data(cfg.datadir, list(range(args.n_ids)), codes,
                              uvdir=cfg.uvdir, testskip=1)
     H, W, focal = ds.hwf
     K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]],

@@ -48,6 +48,8 @@ def main() -> None:
     p.add_argument("--expname", default="morphable_flagship")
     p.add_argument("--ids", default="0,1,2,3",
                    help="identities to distill + measure")
+    p.add_argument("--n_ids", type=int, default=8,
+                   help="identity count of the trained checkpoint/dataset")
     p.add_argument("--distill_steps", type=int, default=4000)
     p.add_argument("--n_samples", type=int, default=32)
     p.add_argument("--n_test_views", type=int, default=3)
@@ -98,7 +100,7 @@ def main() -> None:
         expname=args.expname, basedir=args.basedir, datadir=args.data,
         uvdir=os.path.join(args.data, "uv"),
         shape_codes_path=os.path.join(args.data, "factors_id.npy"),
-        person_num=8,
+        person_num=args.n_ids,
         white_bkgd=args.white_bkgd,
     )
     if args.small_model:
@@ -135,7 +137,7 @@ def main() -> None:
     if not persons:
         raise SystemExit(f"--ids={args.ids!r} parses to an empty list — "
                          "pass comma-separated person ids")
-    ds = load_facescape_data(cfg.datadir, list(range(8)), codes,
+    ds = load_facescape_data(cfg.datadir, list(range(args.n_ids)), codes,
                              uvdir=cfg.uvdir, testskip=1)
     H, W, focal = ds.hwf
     K = jnp.asarray(np.array(
