@@ -320,6 +320,7 @@ def make_face_dataset(
     n_holdout: int = 20,
     n_lat: int = 64,
     n_lon: int = 96,
+    id_params: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Produce a full FaceScape-format multiview dataset of the synthetic
     face family: per-id split JSONs + images (datagen/multiview.py), UV
@@ -327,13 +328,22 @@ def make_face_dataset(
     landmarks.npy [n, 20, 68, 3] (x50: the train loop divides by the world
     scale, run_train.py:121), and face_params.npy (the ground-truth
     identity parameters, for studies). Returns the [n_ids, N_ID_PARAMS]
-    parameter matrix. Resumable per identity."""
+    parameter matrix. Resumable per identity.
+
+    `id_params` overrides the seeded identity sampling with an explicit
+    [n, N_ID_PARAMS] matrix — the generator is linear in the params, so
+    passing interpolated rows yields the TRUE intermediate faces (used to
+    densify code space along interpolation paths)."""
     import imageio.v2 as imageio
 
     from mofanerf_tpu.datagen.multiview import render_identities_parallel
 
     os.makedirs(out_dir, exist_ok=True)
-    params = sample_identity_params(n_ids, seed)
+    if id_params is not None:
+        params = np.asarray(id_params, np.float32)
+        n_ids = len(params)
+    else:
+        params = sample_identity_params(n_ids, seed)
 
     loader = _FaceMeshLoader(params, tuple(exp_ids), n_lat, n_lon)
     render_identities_parallel(

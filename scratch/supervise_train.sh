@@ -1,0 +1,47 @@
+#!/bin/sh
+# Supervisor for long TPU training runs on the axon relay: the client
+# wedges silently every ~25-35 min (all threads futex_wait, zero CPU, no
+# exception — CLAUDE.md round-3/4 observations). Watch the run's stdout
+# mtime; stale >300 s => kill by PID and relaunch (orbax resumes from the
+# last i_weights checkpoint). Exits when the target step is checkpointed.
+#
+# Usage: supervise_train.sh <expname> <datadir> <n_ids> <iters> [extra args...]
+set -u
+EXPNAME=$1; DATADIR=$2; NIDS=$3; ITERS=$4; shift 4
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+OUT=/tmp/sup_${EXPNAME}.out
+CKPT=studydata/logs/${EXPNAME}/checkpoints
+
+while :; do
+  last=$(ls "$CKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1 | sed 's/^0*//')
+  last=${last:-0}
+  if [ "$last" -ge "$ITERS" ]; then
+    echo "SUPERVISOR_DONE last_ckpt=$last"
+    break
+  fi
+  echo "SUPERVISOR launch (last_ckpt=$last) $(date)"
+  python -u examples/morphable_flagship.py --stage train \
+    --data "$DATADIR" --n_ids "$NIDS" --expname "$EXPNAME" \
+    --iters "$ITERS" --white_bkgd --device_data \
+    --i_weights 2000 --i_testset 1000000000 "$@" >> "$OUT" 2>&1 &
+  PID=$!
+  echo "$PID" > /tmp/train_inner.pid
+  KILLED=0
+  while kill -0 "$PID" 2>/dev/null; do
+    sleep 60
+    age=$(( $(date +%s) - $(stat -c %Y "$OUT" 2>/dev/null || echo 0) ))
+    if [ "$age" -gt 300 ]; then
+      echo "SUPERVISOR wedge: stdout stale ${age}s, killing $PID $(date)"
+      kill "$PID"; sleep 5; kill -9 "$PID" 2>/dev/null
+      KILLED=1
+    fi
+  done
+  wait "$PID" 2>/dev/null
+  rc=$?
+  if [ "$KILLED" -eq 0 ] && [ "$rc" -ne 0 ]; then
+    echo "SUPERVISOR: run exited rc=$rc without wedge; aborting"
+    break
+  fi
+  sleep 3
+done

@@ -213,6 +213,31 @@ def test_make_face_dataset_layout(tmp_path):
     assert (r > 1.0).all() and (r < 4.0).all()
 
 
+def test_make_face_dataset_explicit_params(tmp_path):
+    """`id_params` overrides seeded sampling: the written family carries the
+    given rows verbatim (used to add TRUE midpoint identities — the
+    generator is linear in the params, so interpolated rows rasterize the
+    genuine intermediate faces)."""
+    from mofanerf_tpu.datagen.synthetic_faces import (
+        make_face_dataset, sample_identity_params,
+    )
+
+    base = sample_identity_params(2, seed=1)
+    mids = (base[0:1] + base[1:2]) / 2.0
+    explicit = np.concatenate([base, mids])
+    params = make_face_dataset(
+        str(tmp_path), n_ids=999, exp_ids=(0,), res=32, seed=1,
+        view_stride=40, n_holdout=1, n_lat=12, n_lon=16,
+        id_params=explicit,
+    )
+    assert params.shape == (3, 10)
+    np.testing.assert_allclose(params, explicit, atol=0)
+    codes = np.load(tmp_path / "factors_id.npy")
+    np.testing.assert_allclose(codes[2, :10], mids[0], atol=1e-6)
+    assert os.path.exists(tmp_path / "2" )
+    assert os.path.exists(tmp_path / "uv" / "2" / "1_neutral.jpg")
+
+
 def test_expression_bank_20_distinct_and_legacy_exact():
     """All 20 FaceScape expression ids produce pairwise-distinct deformation
     fields, and ids 0/1/2/18 reproduce the legacy 3-axis triples EXACTLY
