@@ -268,12 +268,16 @@ def _train_device_data(cfg, spec, state, tx, ds, K, landmarks, logger,
     logger.note(f"device-data path: {dd.images.shape[0]} frames resident, "
                 f"bias={bias}, {C} steps/dispatch")
 
+    # NOTE: the store is a TRACED argument, not a closure — a closed-over
+    # store is serialized into the compile payload as constants, and a
+    # multi-thousand-frame dataset blows the relay's request-size limit
+    # (HTTP 413 observed at ~1 GB with 16 ids x 20 expressions).
     @partial(jax.jit, static_argnames="n_steps")
-    def run_chunk(state, i0, n_steps: int):
+    def run_chunk(state, store, i0, n_steps: int):
         def body(st, t):
             i = i0 + t
             k = jax.random.fold_in(base_key, i)
-            batch = sample_batch_device(dd, Kj, i, jax.random.fold_in(k, 0),
+            batch = sample_batch_device(store, Kj, i, jax.random.fold_in(k, 0),
                                         scfg)
             return train_step(st, batch, jax.random.fold_in(k, 1), spec, tx)
 
@@ -281,14 +285,14 @@ def _train_device_data(cfg, spec, state, tx, ds, K, landmarks, logger,
         return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
     sample_jit = jax.jit(
-        lambda i, k: sample_batch_device(dd, Kj, i, k, scfg))
+        lambda store, i, k: sample_batch_device(store, Kj, i, k, scfg))
 
     t0 = time.time()
     i = start
     while i < n_total:
         prev = i
         c = min(C - i % C, n_total - i)
-        state, metrics = run_chunk(state, jnp.asarray(i, jnp.int32), c)
+        state, metrics = run_chunk(state, dd, jnp.asarray(i, jnp.int32), c)
         i += c
 
         def crossed(v: int) -> bool:
@@ -301,7 +305,7 @@ def _train_device_data(cfg, spec, state, tx, ds, K, landmarks, logger,
         if (grid_update_fn is not None and i >= cfg.grid_warmup
                 and crossed(cfg.i_grid)):
             gkey = jax.random.fold_in(jax.random.fold_in(base_key, i), 2)
-            gbatch = sample_jit(jnp.asarray(i, jnp.int32), gkey)
+            gbatch = sample_jit(dd, jnp.asarray(i, jnp.int32), gkey)
             grid, density_ema = grid_update_fn(
                 state.params, gbatch, grid, density_ema)
 
