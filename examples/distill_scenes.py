@@ -214,18 +214,18 @@ def main() -> None:
                 p, _spec, c, H, W, Kj, pose)["rgb"])
         gts = {ti: load_white(ds.image_paths[ti])[0] for ti in test_ids}
 
-        def train_teacher(lr: float, seed: int):
+        def train_teacher(lr: float, seed: int, iters: int):
             state = create_train_state(jax.random.PRNGKey(seed), spec,
                                        lrate=lr)
             tx = make_optimizer(lrate=lr)
             step_fn = jax.jit(lambda s, b, k, _spec=spec, _tx=tx:
                               train_step(s, b, k, _spec, _tx))
             t0 = time.time()
-            for i in range(args.iters):
+            for i in range(iters):
                 state, m = step_fn(state, batch_for(i),
                                    jax.random.fold_in(
                                        jax.random.PRNGKey(seed), i))
-                if i % max(1, args.iters // 5) == 0:
+                if i % max(1, iters // 5) == 0:
                     print(f"[{name}] iter {i} psnr {float(m['psnr']):.2f} "
                           f"({(i + 1) / (time.time() - t0):.1f} it/s)")
             tex = encode_texture(state.params, spec, uv)
@@ -240,22 +240,26 @@ def main() -> None:
 
         # Convergence gate (VERDICT r3 weak #1): a teacher below the bar is
         # a FAILED teacher — distilling it produces a vacuous "student
-        # matches an empty field" row, so retry once (new seed, gentler lr)
-        # and otherwise fail the study loudly instead of emitting garbage.
+        # matches an empty field" row. Retry on a schedule that pairs a
+        # gentler lr with MORE iterations (measured on the concave scene:
+        # lr/4 reached 19.7 dB in the base budget and was still climbing —
+        # slower lrs need longer to clear the same bar), and fail the study
+        # loudly if every attempt stays under the gate.
         gate_db = 20.0 if not args.quick else 8.0
+        schedule = [(args.teacher_lr, sid, args.iters),
+                    (args.teacher_lr / 4, sid + 100, 2 * args.iters),
+                    (args.teacher_lr / 8, sid + 200, 3 * args.iters)]
         attempts = []
-        state, cond, t_renders, teacher_gt_psnr = train_teacher(
-            args.teacher_lr, seed=sid)
-        attempts.append({"lr": args.teacher_lr, "seed": sid,
-                         "teacher_psnr_vs_gt_db": round(teacher_gt_psnr, 2)})
-        if teacher_gt_psnr < gate_db:
-            print(f"[{name}] teacher FAILED gate ({teacher_gt_psnr:.1f} < "
-                  f"{gate_db} dB) — retrying at lr {args.teacher_lr / 4}")
+        for lr_a, seed_a, iters_a in schedule:
             state, cond, t_renders, teacher_gt_psnr = train_teacher(
-                args.teacher_lr / 4, seed=sid + 100)
-            attempts.append({"lr": args.teacher_lr / 4, "seed": sid + 100,
+                lr_a, seed=seed_a, iters=iters_a)
+            attempts.append({"lr": lr_a, "seed": seed_a, "iters": iters_a,
                              "teacher_psnr_vs_gt_db":
                                  round(teacher_gt_psnr, 2)})
+            if teacher_gt_psnr >= gate_db:
+                break
+            print(f"[{name}] teacher FAILED gate ({teacher_gt_psnr:.1f} < "
+                  f"{gate_db} dB) — retrying")
         if teacher_gt_psnr < gate_db:
             raise RuntimeError(
                 f"scene {name!r}: teacher failed to converge in "
