@@ -263,24 +263,35 @@ def evaluate(args, cfg) -> None:
                                  f"{stem}_interp.png"),
                     to8b(np.concatenate(strip, axis=1)))
 
-    # ---- 4. expression control on a held-out identity view
+    # ---- 4. expression control on held-out views. Round 4 measured ONE
+    # view of ONE identity per expression — at margins of a fraction of a
+    # dB that is mostly view noise. Average over up to 3 held-out views of
+    # up to 2 identities; `wrong` renders the first OTHER expression in the
+    # bank at the same views.
     expr = []
-    for exp in sorted(set(int(e) for e in ds.exp_types)):
-        matches = [i for i in test_idx[a_pid] if int(ds.exp_types[i]) == exp]
-        if not matches:
+    exp_set = sorted(set(int(e) for e in ds.exp_types))
+    for exp in exp_set:
+        wrong_exp = [e for e in exp_set if e != exp][0]
+        own_vals, wrong_vals = [], []
+        for pid_e in (a_pid, b_pid):
+            matches = [i for i in test_idx[pid_e]
+                       if int(ds.exp_types[i]) == exp][:3]
+            for i in matches:
+                gt = read_image(ds.image_paths[i], white_bkgd=cfg.white_bkgd)
+                pose_i = jnp.asarray(ds.poses[i][:3])
+                own_vals.append(psnr(
+                    np.asarray(render(cond_for(pid_e, exp), pose_i)), gt))
+                wrong_vals.append(psnr(
+                    np.asarray(render(cond_for(pid_e, wrong_exp), pose_i)), gt))
+        if not own_vals:
             continue
-        i = matches[0]
-        gt = read_image(ds.image_paths[i], white_bkgd=cfg.white_bkgd)
-        out = np.asarray(render(cond_for(a_pid, exp),
-                                jnp.asarray(ds.poses[i][:3])))
-        wrong = np.asarray(render(cond_for(a_pid, [e for e in
-                                                   set(int(x) for x in ds.exp_types)
-                                                   if e != exp][0]),
-                                  jnp.asarray(ds.poses[i][:3])))
-        expr.append({"exp": exp, "own_exp_psnr": psnr(out, gt),
-                     "wrong_exp_psnr": psnr(wrong, gt)})
+        expr.append({"exp": exp,
+                     "own_exp_psnr": float(np.mean(own_vals)),
+                     "wrong_exp_psnr": float(np.mean(wrong_vals)),
+                     "n_views": len(own_vals)})
         print(f"expression {exp}: own {expr[-1]['own_exp_psnr']:.2f} vs "
-              f"wrong {expr[-1]['wrong_exp_psnr']:.2f} dB")
+              f"wrong {expr[-1]['wrong_exp_psnr']:.2f} dB "
+              f"({len(own_vals)} views)")
 
     # ---- 5. expression-transfer matrix: every (identity, expression-code)
     # pair, INCLUDING combinations absent from training views; GT is

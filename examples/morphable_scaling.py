@@ -1,0 +1,75 @@
+"""Aggregate the identity-count scaling table (VERDICT r4 #2/next-#4).
+
+Reference scale target: 300 identities (configs/exp_mofanerf.txt:6). This
+collects the committed morphable studies into one 3-point scaling curve
+(8 / 16 / 32 identities, same recipe: flagship dims, white_bkgd, 128^2,
+device-resident data) so the trend toward the reference's regime is a
+single artifact: held-out PSNR/SSIM, identity separation (own vs cross),
+and training budget per identity.
+
+Usage: python examples/morphable_scaling.py   (CPU, reads artifacts/)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_json", default="artifacts/morphable_scaling.json")
+    args = p.parse_args()
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts")
+    points = []
+    for n_ids, fname in ((8, "morphable_flagship.json"),
+                         (16, "morphable16.json"),
+                         (32, "morphable32.json")):
+        path = os.path.join(root, fname)
+        if not os.path.exists(path):
+            print(f"skip {fname} (missing)")
+            continue
+        with open(path) as fh:
+            j = json.load(fh)
+        per = j["per_identity"]
+        vals = list(per.values() if isinstance(per, dict) else per)
+        psnrs = [v["psnr"] for v in vals]
+        cross = j.get("cross_identity", [])
+        own = [c["own_psnr"] for c in cross]
+        oth = [c["cross_psnr"] for c in cross]
+        step = int(j.get("model", {}).get("step", 0))
+        points.append({
+            "n_ids": n_ids,
+            "source": fname,
+            "train_step": step,
+            "iters_per_identity": round(step / n_ids) if step else None,
+            "heldout_psnr_db": round(float(j["mean_heldout_psnr"]), 2),
+            "heldout_ssim": round(float(j["mean_heldout_ssim"]), 4),
+            "worst_identity_psnr_db": round(min(psnrs), 2),
+            "separation_own_psnr_db": round(sum(own) / len(own), 2) if own else None,
+            "separation_cross_psnr_db": round(sum(oth) / len(oth), 2) if oth else None,
+        })
+    out = {
+        "study": "identity-count scaling of the flagship morphable model "
+                 "(reference target: 300 ids, configs/exp_mofanerf.txt:6)",
+        "recipe": "8x256+10x1024 bf16, white_bkgd, 128^2 multiview, "
+                  "device-resident data, lr 5e-5 + precrop + annealed "
+                  "landmark bias",
+        "points": points,
+        "note": "per-identity quality declines slowly with identity count "
+                "at a fixed iteration budget; iters_per_identity is the "
+                "honest cost axis (the reference trains 600k iters for "
+                "300 ids = 2k/id at 512^2).",
+    }
+    with open(args.out_json, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,12 @@ def main() -> None:
                         "parity; see RefineConfig.lambda_l1)")
     p.add_argument("--fast", action="store_true",
                    help="occupancy-culled corpus rendering (~4x)")
+    p.add_argument("--min_input_psnr_db", type=float, default=16.0,
+                   help="corpus sanity floor: any (render, GT) pair below "
+                        "this is a corpus DEFECT (stale data, background "
+                        "mismatch, broken pose), not NeRF blur — round 4's "
+                        "+1.25 dB headline was half GAN-papering-over 9-11 "
+                        "dB broken identity-0 views. Fail loudly instead.")
     p.add_argument("--out_json", default="artifacts/refine_nerf_quality.json")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--quick", action="store_true")
@@ -126,6 +132,27 @@ def main() -> None:
             pairs.append((rel, a, b))
     assert pairs, "empty corpus"
     print(f"corpus: {len(pairs)} (render, GT) pairs at {args.res}^2")
+
+    # corpus sanity: per-identity input PSNR + hard floor on every pair
+    def _np_psnr(a, b):
+        return float(-10.0 * np.log10(max(np.mean((a - b) ** 2), 1e-12)))
+
+    in_psnr = {rel: _np_psnr(a, b) for rel, a, b in pairs}
+    by_ident = {}
+    for rel, v in in_psnr.items():
+        by_ident.setdefault(rel.split(os.sep)[0], []).append(v)
+    for ident in sorted(by_ident, key=int):
+        vs = by_ident[ident]
+        print(f"  id {ident}: input psnr mean {np.mean(vs):.2f} "
+              f"min {min(vs):.2f} dB over {len(vs)} views")
+    defects = sorted((v, rel) for rel, v in in_psnr.items()
+                     if v < args.min_input_psnr_db)
+    if defects and not args.small_model:
+        raise SystemExit(
+            f"CORPUS DEFECT: {len(defects)} pairs below "
+            f"{args.min_input_psnr_db} dB input PSNR (worst: {defects[:8]}) "
+            f"— fix the corpus before training; a GAN will happily 'gain' "
+            f"10+ dB repairing broken data and inflate the headline")
 
     # held-out split: the LAST heldout_views views of each (id, exp) group
     # (always keeping at least one training view per group); if every group
@@ -228,6 +255,11 @@ def main() -> None:
     def mean(k):
         return round(float(np.mean([r[k] for r in rows])), 4)
 
+    def median(k):
+        return round(float(np.median([r[k] for r in rows])), 4)
+
+    gains = [r["refined_psnr_db"] - r["input_psnr_db"] for r in rows]
+
     results = {
         "study": "RefineNet trained on REAL NeRF renders of the flagship "
                  "morphable model (full corpus workflow: "
@@ -246,6 +278,10 @@ def main() -> None:
         "heldout_input_psnr_db": mean("input_psnr_db"),
         "heldout_refined_psnr_db": mean("refined_psnr_db"),
         "psnr_gain_db": round(mean("refined_psnr_db") - mean("input_psnr_db"), 2),
+        "psnr_gain_median_db": round(float(np.median(gains)), 2),
+        "views_improved": int(sum(g > 0 for g in gains)),
+        "views_total": len(gains),
+        "min_input_psnr_db": round(min(r["input_psnr_db"] for r in rows), 2),
         "heldout_input_ssim": mean("input_ssim"),
         "heldout_refined_ssim": mean("refined_ssim"),
         "heldout_input_vgg_dist": mean("input_vgg_dist"),

@@ -42,6 +42,11 @@ def main(argv=None) -> None:
     parser.add_argument("--renderType", default="fitting",
                         choices=["fitting", "rendering", "rendering_modulation"])
     parser.add_argument("--num_iterations", type=int, default=2000)
+    parser.add_argument("--pose_freeze_iters", type=int, default=300,
+                        help="codes-only warmup before the pose unfreezes; "
+                             "co-optimizing from step 0 lets codes absorb "
+                             "the init pose error and drift the rotation "
+                             "(round-3 measurement: 5.9->19.9 deg)")
     parser.add_argument("--ckpt_dir", default=None, help="trained model checkpoint dir")
     parser.add_argument("--code_stats", default=None, help="texShpDistribution.npy path")
     parser.add_argument("--predef_par", default=None, help="preset codes .npy for modulation")
@@ -61,7 +66,8 @@ def main(argv=None) -> None:
 
     target = read_image(args.filePath)
     pose, kp2d = load_pose_file(args.filePath)
-    fcfg = FitConfig(n_iters=args.num_iterations, n_rand=cfg.N_rand)
+    fcfg = FitConfig(n_iters=args.num_iterations, n_rand=cfg.N_rand,
+                     pose_freeze_iters=args.pose_freeze_iters)
 
     name = os.path.splitext(os.path.basename(args.filePath))[0]
     type_name = os.path.basename(os.path.dirname(args.filePath))

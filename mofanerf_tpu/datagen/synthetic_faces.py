@@ -130,10 +130,16 @@ def _feature_fields(a: np.ndarray, b: np.ndarray, p: np.ndarray, e) -> dict:
     eye_sp = 0.42 * (1 + 0.25 * p[6])
     eye_open = 1.0 - 0.85 * eye
     eyes = _gauss(a, eye_sp, 0.16, b, 0.30, 0.12) + _gauss(a, -eye_sp, 0.16, b, 0.30, 0.12)
-    a_m = 0.18 * shift                       # lateral mouth/jaw center
+    # r5: lateral shift / pucker / lip-roll amplitudes raised ~1.7x — at
+    # 128^2 the round-4 deltas for mouth_left/right, lip_puckerer and
+    # lip_roll were too subtle for the expression codes to be identifiable
+    # (morphable16x20.json round-4: wrong >= own on 8/20 exps). These axes
+    # are all ZERO in the legacy expressions 0/1/2/18, so existing datasets
+    # stay bit-identical.
+    a_m = 0.30 * shift                       # lateral mouth/jaw center
     mouth_w = ((0.34 * (1 + 0.25 * p[7]) + 0.14 * smile)
-               * (1 - 0.30 * max(pucker, 0.0)) * (1 - 0.25 * cheek))
-    mouth_h = (0.10 + 0.14 * jaw) * (1 - 0.30 * max(-pucker, 0.0))
+               * (1 - 0.45 * max(pucker, 0.0)) * (1 - 0.25 * cheek))
+    mouth_h = (0.10 + 0.14 * jaw) * (1 - 0.45 * max(-pucker, 0.0))
     mouth = _gauss(a, a_m, mouth_w, b, -0.50, mouth_h)
     corners = (_gauss(a, a_m + mouth_w, 0.10, b, -0.46, 0.08)
                + _gauss(a, a_m - mouth_w, 0.10, b, -0.46, 0.08))
@@ -149,11 +155,12 @@ def _feature_fields(a: np.ndarray, b: np.ndarray, p: np.ndarray, e) -> dict:
     bump = (
         0.30 * (1 + 0.40 * p[3]) * nose
         - 0.10 * (1 + 0.50 * p[5]) * eye_open * eyes
+        + 0.06 * eye * eyes                       # closed-lid bulge
         - (0.07 + 0.18 * jaw) * mouth
         + 0.10 * smile * corners
-        + 0.16 * pucker * lips
+        + 0.30 * pucker * lips
         + 0.06 * (1 + 0.6 * p[9] + 1.4 * brow_raise) * brows
-        + 0.10 * max(-brow_raise, 0.0) * furrow
+        + 0.22 * max(-brow_raise, 0.0) * furrow
         + (0.09 * (0.5 + 0.5 * p[8]) + 0.22 * cheek) * cheeks
         + (0.06 + 0.16 * jaw + 0.18 * fwd) * chin
     )
@@ -165,6 +172,7 @@ def _albedo_at(a: np.ndarray, b: np.ndarray, p: np.ndarray, e) -> np.ndarray:
     """Per-point RGB albedo from the feature masks: identity skin tone with
     lip / eye / brow recoloring."""
     f = _feature_fields(a, b, p, e)
+    ev = _exp_vec(e)
     skin = np.array([
         0.72 + 0.08 * p[0], 0.55 + 0.07 * p[1], 0.45 + 0.06 * p[2]
     ], np.float32)
@@ -174,7 +182,10 @@ def _albedo_at(a: np.ndarray, b: np.ndarray, p: np.ndarray, e) -> np.ndarray:
         w = np.clip(mask * strength, 0.0, 1.0)[..., None]
         return (1 - w) * albedo + w * np.asarray(color, np.float32)
 
-    albedo = mix(f["mouth"], (0.62 + 0.1 * p[7], 0.25, 0.28), 1.2)
+    # lips saturate with pucker / fade when rolled thin (vanishes at 0, so
+    # legacy expressions keep their exact colors)
+    lip_strength = 1.2 + 0.8 * max(ev[4], 0.0) - 0.6 * max(-ev[4], 0.0)
+    albedo = mix(f["mouth"], (0.62 + 0.1 * p[7], 0.25, 0.28), lip_strength)
     albedo = mix(f["eyes"], (0.16, 0.22, 0.30 + 0.1 * p[5]), 1.4)
     albedo = mix(f["brows"], (0.25 + 0.1 * p[9], 0.17, 0.12), 1.2)
     albedo = mix(f["cheeks"] * 0.4, (0.80, 0.45, 0.42), 0.8)
@@ -263,9 +274,9 @@ def face_uv_map(p: np.ndarray, expression: int = 0, size: int = 512) -> np.ndarr
 def _landmark_angles(p: np.ndarray, e) -> np.ndarray:
     e = _exp_vec(e)
     eye_sp = 0.42 * (1 + 0.25 * p[6])
-    a_m = 0.18 * e[3]
+    a_m = 0.30 * e[3]
     mouth_w = ((0.34 * (1 + 0.25 * p[7]) + 0.14 * e[1])
-               * (1 - 0.30 * max(e[4], 0.0)) * (1 - 0.25 * e[5]))
+               * (1 - 0.45 * max(e[4], 0.0)) * (1 - 0.25 * e[5]))
     brow_b = 0.50 + 0.05 * e[2]
     pts = []
     # jawline: arc from left ear to right ear through the chin
@@ -345,6 +356,31 @@ def make_face_dataset(
     else:
         params = sample_identity_params(n_ids, seed)
 
+    # Resume guard: generation is resumable per identity, which means a
+    # CONFIG change silently keeps stale identities (round 4's refine corpus
+    # carried 8 defective identity-0 views exactly this way — see
+    # artifacts/refine_nerf_quality.json round-4 vintage / VERDICT r4 weak
+    # #3). Any mismatch with the recorded generation config is a hard error.
+    meta = {"n_ids": int(n_ids), "exp_ids": list(map(int, exp_ids)),
+            "res": int(res), "seed": int(seed),
+            "view_stride": int(view_stride), "n_holdout": int(n_holdout),
+            "n_lat": int(n_lat), "n_lon": int(n_lon),
+            "explicit_id_params": id_params is not None}
+    fam_path = os.path.join(out_dir, "family.json")
+    if os.path.exists(fam_path):
+        with open(fam_path) as fh:
+            old = json.load(fh)
+        if old != meta:
+            diff = {k: (old.get(k), meta[k]) for k in meta
+                    if old.get(k) != meta[k]}
+            raise RuntimeError(
+                f"{out_dir} was generated with a different config "
+                f"(old vs new: {diff}); resuming would mix stale and fresh "
+                f"identities — delete the directory to regenerate")
+    else:
+        with open(fam_path, "w") as fh:
+            json.dump(meta, fh)
+
     loader = _FaceMeshLoader(params, tuple(exp_ids), n_lat, n_lon)
     render_identities_parallel(
         list(range(n_ids)), loader, out_dir, n_workers=n_workers,
@@ -373,10 +409,6 @@ def make_face_dataset(
     np.save(os.path.join(out_dir, "landmarks.npy"), lms * 50.0)
 
     np.save(os.path.join(out_dir, "face_params.npy"), params)
-    with open(os.path.join(out_dir, "family.json"), "w") as f:
-        json.dump({"n_ids": n_ids, "exp_ids": list(map(int, exp_ids)),
-                   "res": res, "seed": seed, "view_stride": view_stride},
-                  f)
     return params
 
 

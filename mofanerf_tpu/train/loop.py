@@ -99,6 +99,12 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
         state = restore_checkpoint(ckpt_dir, state)
         start = int(state.step)
         logger.note(f"resumed from checkpoint at step {start}")
+    else:
+        # ADVICE r4: a fresh run appending to a surviving log looks like a
+        # broken resume (counter "restarts"); say explicitly that there was
+        # no checkpoint and step/lr-decay start from 0 by design.
+        logger.note("no checkpoint found — FRESH run (step and lr schedule "
+                    "start at 0; log below appends to any prior run's)")
 
     step_fn = jax.jit(lambda s, b, k: train_step(s, b, k, spec, tx))
 

@@ -213,6 +213,22 @@ def test_make_face_dataset_layout(tmp_path):
     assert (r > 1.0).all() and (r < 4.0).all()
 
 
+def test_make_face_dataset_resume_guard(tmp_path):
+    """Per-identity resume only accepts an IDENTICAL generation config —
+    round 4's refine corpus carried stale identity-0 views after a config
+    change precisely because resume was silent (VERDICT r4 weak #3)."""
+    import pytest
+
+    from mofanerf_tpu.datagen.synthetic_faces import make_face_dataset
+
+    kw = dict(n_ids=1, exp_ids=(0,), res=32, seed=1, view_stride=40,
+              n_holdout=1, n_lat=12, n_lon=16)
+    make_face_dataset(str(tmp_path), **kw)
+    make_face_dataset(str(tmp_path), **kw)  # same config: resume is a no-op
+    with pytest.raises(RuntimeError, match="different config"):
+        make_face_dataset(str(tmp_path), **{**kw, "seed": 2})
+
+
 def test_make_face_dataset_explicit_params(tmp_path):
     """`id_params` overrides seeded sampling: the written family carries the
     given rows verbatim (used to add TRUE midpoint identities — the

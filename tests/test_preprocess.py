@@ -106,6 +106,34 @@ def test_sh_constant_light():
     assert shading[0] > 0
 
 
+def test_sh_matches_dpr():
+    """Elementwise oracle vs the reference DPR basis
+    (tools/fit_data_pre/utils/utils_SH.py:7-35): order
+    (1, Y, Z, X, YX, YZ, 3Z^2-1, XZ, X^2-Y^2), all-positive coefficients,
+    attenuation pi*[1, 2/3, 1/4]. Coefficients produced under the reference
+    convention (fcspLight.npy et al.) must reconstruct identical shading."""
+    rng = np.random.default_rng(3)
+    n = rng.normal(size=(256, 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    x, y, z = n[:, 0], n[:, 1], n[:, 2]
+    att = np.pi * np.array([1, 2.0 / 3.0, 1 / 4.0])
+    ref = np.stack(
+        [
+            0.5 / np.sqrt(np.pi) * att[0] * np.ones_like(x),
+            np.sqrt(3) / 2 / np.sqrt(np.pi) * y * att[1],
+            np.sqrt(3) / 2 / np.sqrt(np.pi) * z * att[1],
+            np.sqrt(3) / 2 / np.sqrt(np.pi) * x * att[1],
+            np.sqrt(15) / 2 / np.sqrt(np.pi) * y * x * att[2],
+            np.sqrt(15) / 2 / np.sqrt(np.pi) * y * z * att[2],
+            np.sqrt(5) / 4 / np.sqrt(np.pi) * (3 * z ** 2 - 1) * att[2],
+            np.sqrt(15) / 2 / np.sqrt(np.pi) * x * z * att[2],
+            np.sqrt(15) / 4 / np.sqrt(np.pi) * (x ** 2 - y ** 2) * att[2],
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(sh_basis(n), ref, rtol=0, atol=1e-12)
+
+
 def test_sh_directional_z():
     sh = np.zeros(9)
     sh[2] = 1.0  # z band
