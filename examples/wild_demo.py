@@ -103,6 +103,9 @@ def main() -> None:
         comp = seg[..., :3] * mask + (1.0 - mask)
         imageio.imwrite(os.path.join(args.work_dir, "segRelRes",
                                      f"{name}_white.png"), to8b(comp))
+        # run_fit looks up pose_<name>.npy by the photo's basename
+        shutil.copy(os.path.join(args.work_dir, f"pose_{name}.npy"),
+                    os.path.join(args.work_dir, f"pose_{name}_white.npy"))
 
     # ---- 4: fit each photo through the real CLI, then render modes
     cfg_flags = [
@@ -113,9 +116,11 @@ def main() -> None:
         "--white_bkgd", "True",
     ]
     if args.small_model:
+        # same dims as morphable_flagship.py's --small tier, so the smoke
+        # checkpoint restores
         cfg_flags += [
-            "--netdepth", "2", "--netwidth", "8",
-            "--netdepth_fine", "2", "--netwidth_fine", "16",
+            "--netdepth", "2", "--netwidth", "16",
+            "--netdepth_fine", "2", "--netwidth_fine", "32",
             "--N_samples", "8", "--N_importance", "8",
             "--compute_dtype", "float32", "--packet_size", "1024",
             "--N_rand", "128",
@@ -129,13 +134,10 @@ def main() -> None:
                       "--num_iterations", str(args.iters)] + cfg_flags)
         fit_dir = os.path.join(args.work_dir, "fitting",
                                f"segRelRes_{name}_white")
-        # the fit loop writes fit_<iter>.png previews (train/fit_loop.py);
-        # measure the final one against the target
-        previews = sorted(f for f in os.listdir(fit_dir)
-                          if f.startswith("fit_") and f.endswith(".png"))
+        # the fit loop always writes a final render (train/fit_loop.py)
         target = np.asarray(imageio.imread(photo), np.float32)[..., :3] / 255
         fitted = np.asarray(imageio.imread(
-            os.path.join(fit_dir, previews[-1])), np.float32)[..., :3] / 255
+            os.path.join(fit_dir, "fit_final.png")), np.float32)[..., :3] / 255
         if fitted.shape != target.shape:
             import cv2
 

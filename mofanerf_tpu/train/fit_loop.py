@@ -162,6 +162,14 @@ def fit(
             )
 
     save_fit_state(ckpt_path, state)
+    # always leave a final preview (short runs may never cross
+    # preview_every; downstream drivers read the last render)
+    out = render_fit_frame(
+        model_params, spec, state.codes, cfg.H // 2, cfg.W // 2,
+        jnp.asarray(K_full / 2)
+    )
+    imageio.imwrite(os.path.join(out_dir, "fit_final.png"),
+                    to8b(np.asarray(out["rgb"])))
     return state
 
 

@@ -9,7 +9,7 @@ timeout 7200 python -u scratch/gen_round5.py > /tmp/r5_gen.out 2>&1
 echo "GEN_EXIT=$?"
 
 # 32-id morphable training (supervisor handles axon wedges)
-sh scratch/supervise_train.sh morphable32 studydata/faces32 32 60000 \
+sh scratch/supervise_train.sh morphable32 studydata/faces32 32 50000 \
   > /tmp/r5_sup_m32.out 2>&1
 echo "TRAIN32_EXIT=$?"
 

@@ -9,7 +9,7 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 mkdir -p studydata/logs/morphable16x20r5
 cp -r studydata/logs/morphable32/checkpoints studydata/logs/morphable16x20r5/
-sh scratch/supervise_train.sh morphable16x20r5 studydata/faces16x20 16 90000 \
+sh scratch/supervise_train.sh morphable16x20r5 studydata/faces16x20 16 75000 \
   > /tmp/r5_sup_16x20.out 2>&1
 echo "TRAIN20_EXIT=$?"
 
