@@ -21,6 +21,10 @@ while :; do
     break
   fi
   echo "SUPERVISOR launch (last_ckpt=$last) $(date)"
+  # i_testset disabled ON PURPOSE (ADVICE r4 #2): a mid-run test render is a
+  # new jit shape on the relay (1-10 min cold compile) and raises the wedge
+  # odds; every chain instead runs the FULL held-out eval
+  # (morphable_flagship.py --stage eval) right after training completes.
   python -u examples/morphable_flagship.py --stage train \
     --data "$DATADIR" --n_ids "$NIDS" --expname "$EXPNAME" \
     --iters "$ITERS" --white_bkgd --device_data \
