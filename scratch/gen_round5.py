@@ -32,6 +32,9 @@ SETS = {
     "faces16x20": dict(n_ids=16, exp_ids=tuple(range(20)), res=128),
     "faces32hi": dict(n_ids=32, exp_ids=(0, 1, 2, 18), res=256),
     "faces32hi512": dict(n_ids=32, exp_ids=(0, 1), res=512),
+    # seed 7 = the faces8 family (family.json): pixel-aligned 512^2 GT for
+    # the ALREADY-TRAINED flagship — the lite 512^2 refine study (~18 min).
+    "faces8hi512": dict(n_ids=8, exp_ids=(0, 1), res=512, seed=7),
 }
 
 
@@ -45,10 +48,11 @@ def main() -> None:
         name = name.strip()
         if not name:
             continue
-        spec = SETS[name]
+        spec = dict(SETS[name])
+        seed = spec.pop("seed", 11)
         t0 = time.time()
         out = make_face_dataset(
-            f"/root/repo/studydata/{name}", seed=11,
+            f"/root/repo/studydata/{name}", seed=seed,
             n_workers=1, view_stride=6, n_holdout=6, **spec)
         print(f"{name} done ({time.time() - t0:.0f}s), params {out.shape}",
               flush=True)
