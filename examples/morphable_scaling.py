@@ -1,9 +1,9 @@
 """Aggregate the identity-count scaling table (VERDICT r4 #2/next-#4).
 
 Reference scale target: 300 identities (configs/exp_mofanerf.txt:6). This
-collects the committed morphable studies into one 3-point scaling curve
-(8 / 16 / 32 identities, same recipe: flagship dims, white_bkgd, 128^2,
-device-resident data) so the trend toward the reference's regime is a
+collects the committed morphable studies into one scaling curve
+(8 / 16 / 32 / 64 identities, same recipe: flagship dims, white_bkgd,
+128^2, device-resident data) so the trend toward the reference's regime is a
 single artifact: held-out PSNR/SSIM, identity separation (own vs cross),
 and training budget per identity.
 
@@ -29,7 +29,8 @@ def main() -> None:
     points = []
     for n_ids, fname in ((8, "morphable_flagship.json"),
                          (16, "morphable16.json"),
-                         (32, "morphable32.json")):
+                         (32, "morphable32.json"),
+                         (64, "morphable64.json")):
         path = os.path.join(root, fname)
         if not os.path.exists(path):
             print(f"skip {fname} (missing)")

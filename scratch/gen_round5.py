@@ -29,6 +29,9 @@ from mofanerf_tpu.datagen.synthetic_faces import make_face_dataset
 
 SETS = {
     "faces32": dict(n_ids=32, exp_ids=(0, 1, 2, 18), res=128),
+    # seed-11 prefix property again: ids 0..31 bit-identical to faces32.
+    # Extends the identity-scaling curve to a 4th point (~18 min CPU).
+    "faces64": dict(n_ids=64, exp_ids=(0, 1, 2, 18), res=128),
     "faces16x20": dict(n_ids=16, exp_ids=tuple(range(20)), res=128),
     "faces32hi": dict(n_ids=32, exp_ids=(0, 1, 2, 18), res=256),
     "faces32hi512": dict(n_ids=32, exp_ids=(0, 1), res=512),
