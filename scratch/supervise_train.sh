@@ -6,8 +6,13 @@
 # last i_weights checkpoint). Exits when the target step is checkpointed.
 #
 # Usage: supervise_train.sh <expname> <datadir> <n_ids> <iters> [extra args...]
+# Optional: SUP_DEADLINE (epoch seconds) — stop training at that wall-clock
+# time even if the target step isn't reached; the caller evals from the last
+# checkpoint. Guards the round-end bench window (round-4 lesson: never let a
+# training run overlap the driver's bench.py).
 set -u
 EXPNAME=$1; DATADIR=$2; NIDS=$3; ITERS=$4; shift 4
+DEADLINE=${SUP_DEADLINE:-0}
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=/tmp/sup_${EXPNAME}.out
@@ -18,6 +23,10 @@ while :; do
   last=${last:-0}
   if [ "$last" -ge "$ITERS" ]; then
     echo "SUPERVISOR_DONE last_ckpt=$last"
+    break
+  fi
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "SUPERVISOR_DEADLINE last_ckpt=$last $(date)"
     break
   fi
   echo "SUPERVISOR launch (last_ckpt=$last) $(date)"
@@ -34,6 +43,12 @@ while :; do
   KILLED=0
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
+    if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+      echo "SUPERVISOR deadline reached, killing $PID $(date)"
+      kill "$PID"; sleep 5; kill -9 "$PID" 2>/dev/null
+      KILLED=1
+      break
+    fi
     age=$(( $(date +%s) - $(stat -c %Y "$OUT" 2>/dev/null || echo 0) ))
     if [ "$age" -gt 300 ]; then
       echo "SUPERVISOR wedge: stdout stale ${age}s, killing $PID $(date)"
