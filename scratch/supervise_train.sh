@@ -41,6 +41,12 @@ while :; do
   PID=$!
   echo "$PID" > /tmp/train_inner.pid
   KILLED=0
+  # A brand-new jit shape (e.g. a bigger device store) remote-compiles for
+  # 1-10 silent minutes; 300 s staleness would false-kill mid-compile and
+  # the relay's round-robin caches make the retry cold again (livelock).
+  # Until the first [TRAIN] line of THIS launch, allow 900 s; after that
+  # the loop prints every ~30 s and 300 s means a real wedge.
+  IT0=$(grep -c '^\[TRAIN\]' "$OUT" 2>/dev/null || echo 0)
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
@@ -49,8 +55,12 @@ while :; do
       KILLED=1
       break
     fi
+    THRESH=900
+    if [ "$(grep -c '^\[TRAIN\]' "$OUT" 2>/dev/null || echo 0)" -gt "$IT0" ]; then
+      THRESH=300
+    fi
     age=$(( $(date +%s) - $(stat -c %Y "$OUT" 2>/dev/null || echo 0) ))
-    if [ "$age" -gt 300 ]; then
+    if [ "$age" -gt "$THRESH" ]; then
       echo "SUPERVISOR wedge: stdout stale ${age}s, killing $PID $(date)"
       kill "$PID"; sleep 5; kill -9 "$PID" 2>/dev/null
       KILLED=1
