@@ -55,6 +55,25 @@ def main() -> None:
             "separation_own_psnr_db": round(sum(own) / len(own), 2) if own else None,
             "separation_cross_psnr_db": round(sum(oth) / len(oth), 2) if oth else None,
         })
+    # Resolution axis (reference trains at 512^2 renders,
+    # tools/train_data_pre/render.py:148-157): same 32-identity family at
+    # 128^2 vs a 256^2 fine-tune on the faces32hi corpus.
+    res_points = []
+    for res, fname in ((128, "morphable32.json"), (256, "morphable32hi.json")):
+        path = os.path.join(root, fname)
+        if not os.path.exists(path):
+            print(f"skip {fname} (missing)")
+            continue
+        with open(path) as fh:
+            j = json.load(fh)
+        res_points.append({
+            "train_res": res,
+            "source": fname,
+            "train_step": int(j.get("model", {}).get("step", 0)),
+            "heldout_psnr_db": round(float(j["mean_heldout_psnr"]), 2),
+            "heldout_ssim": round(float(j["mean_heldout_ssim"]), 4),
+        })
+
     out = {
         "study": "identity-count scaling of the flagship morphable model "
                  "(reference target: 300 ids, configs/exp_mofanerf.txt:6)",
@@ -62,6 +81,7 @@ def main() -> None:
                   "device-resident data, lr 5e-5 + precrop + annealed "
                   "landmark bias",
         "points": points,
+        "resolution_points": res_points,
         "note": "per-identity quality declines slowly with identity count "
                 "at a fixed iteration budget; iters_per_identity is the "
                 "honest cost axis (the reference trains 600k iters for "
