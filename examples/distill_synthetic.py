@@ -168,17 +168,18 @@ def main() -> None:
     print(f"[TEACHER] held-out PSNR vs GT: {teacher_vs_gt:.2f} dB over {len(test_ids)} views")
 
     # ---- 2b. teacher production path on a REAL trained-field grid:
-    # build_occupancy_grid from the trained fine field, then measure the
+    # build_proposal_grid from the trained COARSE field (the fine net is
+    # unconstrained off the importance-sample distribution), then measure the
     # occupancy-culled path's quality (vs the two-pass render) and packet
     # throughput through actual scene geometry — the numbers a synthetic
     # random grid cannot give.
     from mofanerf_tpu.ops.occupancy import (
-        build_occupancy_grid, render_frame_fast, render_rays_occupancy,
+        build_proposal_grid, render_frame_fast, render_rays_occupancy,
     )
     from mofanerf_tpu.ops.rays import get_rays
 
-    grid = build_occupancy_grid(
-        state.params["fine"], spec.fine, cond.fine, resolution=64,
+    grid = build_proposal_grid(
+        state.params, spec, cond, resolution=64,
         aabb_min=AABB_MIN, aabb_max=AABB_MAX, density_threshold=1.0,
     )
     occ_frac = float(jnp.mean(grid.occ))

@@ -148,7 +148,7 @@ def main() -> None:
     if args.aabb_source == "probe" and step is not None:
         # Union of per-identity boxes probed from the CURRENT field (the
         # maintained grid's EMA can carry early-training fog forever).
-        from mofanerf_tpu.ops.occupancy import build_occupancy_grid, grid_aabb
+        from mofanerf_tpu.ops.occupancy import build_proposal_grid, grid_aabb
 
         lo_u, hi_u = None, None
         for pid in persons:
@@ -157,9 +157,7 @@ def main() -> None:
             tex = encode_texture(params, spec, jnp.asarray(uv))
             c = prepare_conditioning(params, spec, jnp.asarray(codes[pid]),
                                      exp_code_for(params, exp_bank[0]), tex)
-            g = build_occupancy_grid(
-                params["fine"], spec.fine, c.fine,
-                sigma_activation=spec.render.sigma_activation)
+            g = build_proposal_grid(params, spec, c)
             lo_p, hi_p = grid_aabb(g)
             lo_u = lo_p if lo_u is None else np.minimum(lo_u, lo_p)
             hi_u = hi_p if hi_u is None else np.maximum(hi_u, hi_p)

@@ -82,13 +82,11 @@ def main(argv=None) -> None:
             exp_code_for(params, int(ds.exp_types[ti])), tex,
         )
         if args.fast:
-            from mofanerf_tpu.ops.occupancy import build_occupancy_grid, render_frame_fast
+            from mofanerf_tpu.ops.occupancy import build_proposal_grid, render_frame_fast
 
             key = (pid, int(ds.exp_types[ti]))
             if key not in grid_cache:
-                grid_cache[key] = build_occupancy_grid(
-                    params["fine"], spec.fine, cond.fine,
-                    sigma_activation=spec.render.sigma_activation)
+                grid_cache[key] = build_proposal_grid(params, spec, cond)
             out = render_frame_fast(
                 params, spec, cond.fine, grid_cache[key], H, W, K,
                 jnp.asarray(ds.poses[ti][:3]),

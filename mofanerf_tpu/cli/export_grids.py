@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from mofanerf_tpu.config import load_config
 from mofanerf_tpu.data.facescape import load_shape_codes, read_image, valid_persons
-from mofanerf_tpu.ops.occupancy import build_occupancy_grid
+from mofanerf_tpu.ops.occupancy import build_proposal_grid
 from mofanerf_tpu.render.renderer import (
     prepare_conditioning,
     encode_texture,
@@ -67,10 +67,9 @@ def main(argv=None) -> None:
                 params, spec, jnp.asarray(shape_codes[int(pid)]),
                 exp_code_for(params, exp), tex,
             )
-            grid = build_occupancy_grid(
-                params["fine"], spec.fine, cond.fine,
+            grid = build_proposal_grid(
+                params, spec, cond,
                 resolution=args.resolution, density_threshold=args.threshold,
-                sigma_activation=spec.render.sigma_activation,
             )
             grids[f"occ_{pid}_{exp}"] = np.packbits(np.asarray(grid.occ))
             aabb = (np.asarray(grid.aabb_min), np.asarray(grid.aabb_max))

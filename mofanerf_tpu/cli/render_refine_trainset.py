@@ -89,12 +89,12 @@ def main(argv=None) -> None:
     rng = np.random.default_rng(args.seed)
 
     if args.fast:
-        from mofanerf_tpu.ops.occupancy import build_occupancy_grid, render_frame_fast
+        from mofanerf_tpu.ops.occupancy import build_proposal_grid, render_frame_fast
 
         def make_render(cond):
-            grid = build_occupancy_grid(
-                params["fine"], spec.fine, cond.fine,
-                sigma_activation=spec.render.sigma_activation)
+            # probe the COARSE field: the fine net is unconstrained off the
+            # importance-sample distribution (see build_proposal_grid)
+            grid = build_proposal_grid(params, spec, cond)
             return lambda c2w: render_frame_fast(
                 params, spec, cond.fine, grid, H, W, K, c2w
             )["rgb"]

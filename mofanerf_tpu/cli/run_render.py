@@ -323,7 +323,7 @@ def main(argv=None) -> None:
             ])
     elif args.fast:
         from mofanerf_tpu.ops.occupancy import (
-            build_occupancy_grid,
+            build_proposal_grid,
             load_grid,
             render_frame_fast,
         )
@@ -336,9 +336,7 @@ def main(argv=None) -> None:
             grid, _ = load_grid(grid_path)
             print(f"using training-maintained occupancy grid: {grid_path}")
         else:
-            grid = build_occupancy_grid(
-                params["fine"], spec.fine, cond.fine,
-                sigma_activation=spec.render.sigma_activation)
+            grid = build_proposal_grid(params, spec, cond)
         rf = max(1, args.render_factor)
         H = W = 512 // rf
         Kr = jnp.asarray(

@@ -57,7 +57,14 @@ def build_occupancy_grid(
     the FaceScape head at world scale 1/50 (meshes clipped to a ~5-unit
     radius, tools/train_data_pre/predef maxDistance). The threshold
     compares ACTIVATED density, so it means the same thing for relu- and
-    softplus-trained fields."""
+    softplus-trained fields.
+
+    Probe the COARSE field for production grids (build_proposal_grid): a
+    two-pass-trained FINE field is only constrained ON the importance-sample
+    distribution (face-local); off it, its density is arbitrary — a
+    32-identity checkpoint measured 10-500 activated density through empty
+    space from the fine net while its coarse net (trained on uniform
+    stratified samples) was clean."""
     from mofanerf_tpu.ops.composite import sigma_act
 
     G = resolution
@@ -67,6 +74,25 @@ def build_occupancy_grid(
     sig = sigma_act(sigma_activation)(probe_density(params, cfg, cond, shell, chunk))
     occ = (sig > density_threshold).reshape(G, G, G)
     return OccupancyGrid(occ, lo, hi)
+
+
+def build_proposal_grid(params, spec, cond, **kw):
+    """Occupancy grid from the COARSE (proposal) field of a two-pass model.
+
+    The fine field must only ever be evaluated inside this grid's occupied
+    band: in two-pass training (render/renderer.py) the fine net sees
+    importance samples only, so its density off that distribution is
+    unconstrained (observed: a fog floor >1.0 through the whole box on a
+    32-id checkpoint, which saturated a fine-probed grid and broke culled
+    renders). The coarse net is trained on uniform stratified samples along
+    every training ray, so it is the field that legitimately answers "is
+    this cell empty?" — the same proposal/refine split the two-pass
+    renderer itself uses (reference run_nerf.py render pipeline parity).
+
+    `params`/`spec`/`cond` are the full-model pytrees (with .coarse/.fine);
+    kw forwards to build_occupancy_grid."""
+    kw.setdefault("sigma_activation", spec.render.sigma_activation)
+    return build_occupancy_grid(params["coarse"], spec.coarse, cond.coarse, **kw)
 
 
 def probe_density(
@@ -164,12 +190,22 @@ def render_rays_occupancy(
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     occ = occupancy_lookup(grid, pts)  # [N, S]
 
-    # Static-shape compaction: take the k_keep first occupied samples in
-    # depth order. Unoccupied slots are parked past the far plane; after a
-    # final sort the real samples are exactly those with z <= far.
-    key = jnp.where(occ, z, far + 1.0 + z)  # occupied first, both z-ordered
-    order = jnp.argsort(key, axis=-1)[:, :k_keep]          # [N, K]
-    zk = jnp.sort(jnp.take_along_axis(key, order, axis=-1), axis=-1)
+    # Static-shape compaction: respace k_keep samples uniformly over the
+    # ray's occupied depth band [first occupied probe, last occupied probe].
+    # Unlike a "first k occupied probes" rule this cannot truncate a ray
+    # mid-face when the grid is dense (a dense grid degrades to a
+    # k_keep-sample uniform render of [near, far] — observed on a
+    # 32-identity checkpoint whose density floor marked every cell
+    # occupied); with a sparse grid it concentrates every sample on the
+    # face slab just like the first-k rule. Rays that hit nothing park
+    # past the far plane and composite as pure background.
+    any_occ = occ.any(axis=-1)
+    t0 = jnp.min(jnp.where(occ, z, jnp.inf), axis=-1)
+    t1 = jnp.max(jnp.where(occ, z, -jnp.inf), axis=-1)
+    t0 = jnp.where(any_occ, t0, far + 1.0)
+    t1 = jnp.where(any_occ, t1, far + 2.0)
+    frac = jnp.linspace(0.0, 1.0, k_keep)
+    zk = t0[:, None] * (1.0 - frac) + t1[:, None] * frac
     keep_mask = zk <= far
     zk = jnp.minimum(zk, far)
 

@@ -135,8 +135,11 @@ def train(cfg: Config, n_iters: Optional[int] = None, seed: int = 0) -> None:
                 params, spec, batch.shape_code,
                 exp_code_for(params, batch.exp_type), tex,
             )
+            # probe the COARSE field: the fine net is unconstrained off the
+            # importance-sample distribution (ops/occupancy.py
+            # build_proposal_grid), and this grid feeds run_render --fast
             return update_occupancy_grid(
-                grid, ema, params["fine"], spec.fine, c.fine,
+                grid, ema, params["coarse"], spec.coarse, c.coarse,
                 cfg.grid_ema_decay, cfg.grid_density_threshold,
                 spec.render.sigma_activation,
             )

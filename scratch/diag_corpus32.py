@@ -46,9 +46,8 @@ gt_path = man["0/0/00.png"]
 fi = ds.image_paths.index(gt_path)
 print("frame", fi, gt_path, "id", int(ds.id_codes[fi]), "exp", int(ds.exp_types[fi]))
 c2w = jnp.asarray(ds.poses[fi][:3])
-gt = np.asarray(imageio.imread(gt_path), np.float32)[..., :3] / 255.0
+gt = np.asarray(read_image(gt_path, white_bkgd=True))
 if gt.shape[0] != res:
-    import jax.image as jim
     gt = np.asarray(jax.image.resize(jnp.asarray(gt), (res, res, 3), "linear"))
 
 uv = read_image(ds.uv_paths[int(ds.id_codes[fi])], is_uvmap=True, uv_size=spec.uv_size)
@@ -64,9 +63,8 @@ rgb_full = np.asarray(render_frame(params, spec, cond, res, res, K, c2w)["rgb"])
 print("FULL  psnr vs GT:", psnr(rgb_full, gt))
 
 # (b) occupancy fast path, as the corpus CLI does
-from mofanerf_tpu.ops.occupancy import build_occupancy_grid, render_frame_fast
-grid = build_occupancy_grid(params["fine"], spec.fine, cond.fine,
-                            sigma_activation=spec.render.sigma_activation)
+from mofanerf_tpu.ops.occupancy import build_proposal_grid, render_frame_fast
+grid = build_proposal_grid(params, spec, cond)
 print("grid occupied fraction:", float(jnp.mean(grid.occ)))
 from mofanerf_tpu.ops.occupancy import ray_aabb_hit
 from mofanerf_tpu.ops.rays import get_rays
