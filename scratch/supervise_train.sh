@@ -46,7 +46,9 @@ while :; do
   # the relay's round-robin caches make the retry cold again (livelock).
   # Until the first [TRAIN] line of THIS launch, allow 900 s; after that
   # the loop prints every ~30 s and 300 s means a real wedge.
-  IT0=$(grep -c '^\[TRAIN\]' "$OUT" 2>/dev/null || echo 0)
+  # NB: grep -c prints 0 itself on zero matches (exit 1), so `|| echo 0`
+  # would yield "0\n0" and break [ -gt ] — default only when empty instead
+  IT0=$(grep -c '^\[TRAIN\]' "$OUT" 2>/dev/null); IT0=${IT0:-0}
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
@@ -56,7 +58,8 @@ while :; do
       break
     fi
     THRESH=900
-    if [ "$(grep -c '^\[TRAIN\]' "$OUT" 2>/dev/null || echo 0)" -gt "$IT0" ]; then
+    ITN=$(grep -c '^\[TRAIN\]' "$OUT" 2>/dev/null); ITN=${ITN:-0}
+    if [ "$ITN" -gt "$IT0" ]; then
       THRESH=300
     fi
     age=$(( $(date +%s) - $(stat -c %Y "$OUT" 2>/dev/null || echo 0) ))

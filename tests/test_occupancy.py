@@ -364,3 +364,36 @@ def test_grid_aabb_tight_box():
     lo3, hi3 = grid_aabb(empty)
     np.testing.assert_allclose(lo3, [0.0] * 3)
     np.testing.assert_allclose(hi3, [10.0] * 3)
+
+
+def test_proposal_grid_probes_coarse_field():
+    """build_proposal_grid must consult the COARSE field: a two-pass-trained
+    fine net is unconstrained off the importance-sample distribution (a real
+    32-id checkpoint read 10-500 activated density through empty space from
+    its fine net while its coarse net was clean — the fine-probed grid
+    saturated and the culled render truncated rays mid-head)."""
+    from mofanerf_tpu.config import Config
+    from mofanerf_tpu.ops.occupancy import build_proposal_grid
+    from mofanerf_tpu.render.renderer import prepare_conditioning, encode_texture
+    from mofanerf_tpu.train.state import create_train_state
+
+    cfg = Config(expname="t", basedir="/tmp", datadir="x",
+                 netdepth=2, netwidth=8, netdepth_fine=2, netwidth_fine=16,
+                 compute_dtype="float32")
+    spec = cfg.model_spec()
+    state = create_train_state(jax.random.PRNGKey(0), spec)
+    params = state.params
+    # fine field: fog everywhere (huge sigma bias); coarse: empty everywhere
+    params["fine"]["sigma"]["alpha"]["w"] = jnp.zeros_like(
+        params["fine"]["sigma"]["alpha"]["w"])
+    params["fine"]["sigma"]["alpha"]["b"] = jnp.full_like(
+        params["fine"]["sigma"]["alpha"]["b"], 50.0)
+    params["coarse"]["sigma"]["alpha"]["w"] = jnp.zeros_like(
+        params["coarse"]["sigma"]["alpha"]["w"])
+    params["coarse"]["sigma"]["alpha"]["b"] = jnp.full_like(
+        params["coarse"]["sigma"]["alpha"]["b"], -50.0)
+    tex = encode_texture(params, spec,
+                         jnp.zeros((spec.uv_size, spec.uv_size, 3)))
+    cond = prepare_conditioning(params, spec, jnp.zeros(50), jnp.zeros(30), tex)
+    grid = build_proposal_grid(params, spec, cond, resolution=8, chunk=512)
+    assert not bool(grid.occ.any()), "proposal grid must ignore the foggy fine field"
