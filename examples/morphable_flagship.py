@@ -57,6 +57,7 @@ def build_config(args) -> "Config":
         white_bkgd=args.white_bkgd,
         device_data=args.device_data,
         scan_steps=args.scan_steps,
+        ray_bias=args.ray_bias,
     )
     if args.small:  # CPU smoke tier
         cfg = dataclasses.replace(
@@ -88,6 +89,10 @@ def main() -> None:
                    help="device-resident split + in-graph batch sampling")
     p.add_argument("--scan_steps", type=int, default=0,
                    help="optimizer steps per dispatch (device_data path)")
+    p.add_argument("--ray_bias", default="auto",
+                   help="device-sampler bias: auto|landmarks|fg|none|expdelta "
+                        "(expdelta: concentrate rays on pixels that "
+                        "distinguish expressions - see data/device_data.py)")
     p.add_argument("--small", action="store_true", help="toy dims (CPU smoke)")
     p.add_argument("--res", type=int, default=0,
                    help="eval GT raster resolution override (0 = dataset res)")

@@ -94,6 +94,12 @@ class Config:
     # split fits device memory (uint8 images; see estimate_device_bytes).
     device_data: bool = False
     scan_steps: int = 0
+    # biased-ray source for the device sampler: 'auto' (landmarks when
+    # available, else foreground reservoir), 'landmarks', 'fg', 'none', or
+    # 'expdelta' — reservoirs of pixels where the frame differs from its
+    # same-pose siblings under other expressions, concentrating gradient
+    # on expression-informative regions (data/device_data.py)
+    ray_bias: str = "auto"
 
     # logging / checkpoint intervals
     i_print: int = 100

@@ -108,6 +108,43 @@ def _fg_mask(path: str, img: np.ndarray, half_res: bool,
     return None
 
 
+def _expdelta_reservoirs(ds, idx, imgs, W, fg_reservoir, rng):
+    """Per-image reservoirs of EXPRESSION-INFORMATIVE pixels.
+
+    Groups the split by (identity, camera pose) — the synthetic sets render
+    every expression at shared view poses — and, for each frame, samples
+    reservoir pixels with probability proportional to the frame's max
+    per-pixel difference from its same-pose siblings under other
+    expressions. Uniform ray sampling starves the expression codes: the
+    pixels that distinguish expressions (mouth, brows, silhouette shifts)
+    are a few percent of a face frame, so at the reference lr the codes
+    barely move (measured: a 20x20 code-vs-GT transfer matrix at 60k iters
+    had positive own-expression margins on only ~5/20 rows). Returns
+    (fg array, any_filled)."""
+    groups = {}
+    for k, i in enumerate(idx):
+        key = (int(ds.id_codes[int(i)]),
+               np.round(np.asarray(ds.poses[int(i)][:3]), 5).tobytes())
+        groups.setdefault(key, []).append(k)
+    fg = np.zeros((len(idx), fg_reservoir, 2), np.int32)
+    filled = False
+    for ks in groups.values():
+        if len(ks) < 2:
+            continue
+        stack = np.stack([imgs[k].astype(np.float32) for k in ks])
+        for a_pos, k in enumerate(ks):
+            delta = np.abs(stack - stack[a_pos]).mean(-1).max(0).reshape(-1)
+            s = float(delta.sum())
+            if s <= 0.0:
+                continue
+            pick = rng.choice(delta.shape[0], size=fg_reservoir,
+                              p=delta / s)
+            fg[k, :, 0] = pick // W
+            fg[k, :, 1] = pick % W
+            filled = True
+    return fg, filled
+
+
 def build_device_dataset(
     ds,                              # data.facescape.FacescapeDataset
     K: np.ndarray,
@@ -118,6 +155,7 @@ def build_device_dataset(
     half_res: bool = False,
     white_bkgd: bool = False,
     seed: int = 0,
+    bias_override: Optional[str] = None,  # None/'auto' | 'expdelta' | 'fg' | 'landmarks' | 'none'
 ):
     """Read the split once on the host and place it on device. Returns
     (DeviceDataset, bias_mode). Costs one pass over the images — afterwards
@@ -128,7 +166,12 @@ def build_device_dataset(
     imgs = []
     fg = np.zeros((n, fg_reservoir, 2), np.int32)
     lm2d = np.zeros((n, 68, 2), np.float32)
-    bias = "landmarks" if landmarks is not None else "fg"
+    if bias_override in (None, "auto"):
+        bias = "landmarks" if landmarks is not None else "fg"
+    else:
+        bias = bias_override
+        if bias == "landmarks" and landmarks is None:
+            raise ValueError("bias_override='landmarks' but no landmarks given")
     has_fg = False
     for k, i in enumerate(idx):
         img = read_image(ds.image_paths[int(i)], half_res=half_res,
@@ -151,7 +194,13 @@ def build_device_dataset(
                     fg[k, :, 0] = r[pick]
                     fg[k, :, 1] = c[pick]
                     has_fg = True
-    if bias == "fg" and not has_fg:
+    if bias == "expdelta":
+        H_, W_ = imgs[0].shape[:2]
+        fg, filled = _expdelta_reservoirs(ds, idx, imgs, W_, fg_reservoir, rng)
+        # reservoir semantics are identical to the fg mode from here on —
+        # the in-graph sampler needs no new branch
+        bias = "fg" if filled else "none"
+    elif bias == "fg" and not has_fg:
         bias = "none"
 
     H, W = imgs[0].shape[:2]

@@ -6,9 +6,14 @@ shell: most samples hit empty space. This module implements the
 TPU-native version of occupancy culling (the NerfAcc / Instant-NGP
 technique, adapted to static shapes):
 
-1. `build_occupancy_grid`: evaluate the trained FINE field's density on a
+1. `build_occupancy_grid`: evaluate a trained field's density on a
    G^3 lattice over the face AABB once (one bench-call of compute), keep
-   a boolean grid of cells above a density threshold.
+   a boolean grid of cells above a density threshold, then DILATE by one
+   cell (3^3 max-pool) so a thin occupied shell is always thicker than
+   the ray-march probe spacing — without it a clean shell grid (cell
+   0.156 units at G=64 vs probe spacing 0.28 at s_probe=64) aliases:
+   most rays step clean over the surface and composite as background.
+   Production grids probe the COARSE field (`build_proposal_grid`).
 2. `render_rays_occupancy`: per ray, place `s_probe` stratified depths,
    look each up in the grid (pure gathers — no MLP), select the top
    `k_keep` OCCUPIED samples per ray (argsort on a composite key — a
@@ -42,6 +47,23 @@ class OccupancyGrid(NamedTuple):
     aabb_max: jnp.ndarray  # [3]
 
 
+def dilate_occupancy(occ: jnp.ndarray, cells: int = 1) -> jnp.ndarray:
+    """Morphological dilation (max-pool) of a boolean [G,G,G] grid.
+
+    Guarantees conservative ray-march coverage: with G=64 over a 10-unit
+    box a cell is 0.156 units, while s_probe=64 over [8, 26] probes every
+    0.28 units — an undilated thin shell falls between probes on most
+    rays. One cell of dilation makes the minimum occupied thickness
+    3 cells = 0.47 units > any sane probe spacing."""
+    if cells <= 0:
+        return occ
+    k = 2 * cells + 1
+    x = jax.lax.reduce_window(
+        occ.astype(jnp.float32), 0.0, jax.lax.max,
+        (k, k, k), (1, 1, 1), "SAME")
+    return x > 0.0
+
+
 def build_occupancy_grid(
     params: Params,
     cfg: FieldConfig,
@@ -52,6 +74,7 @@ def build_occupancy_grid(
     density_threshold: float = 1.0,
     chunk: int = 65536,
     sigma_activation: str = "relu",
+    dilate_cells: int = 1,
 ) -> OccupancyGrid:
     """Probe the fine field's sigma at cell centers. The default AABB covers
     the FaceScape head at world scale 1/50 (meshes clipped to a ~5-unit
@@ -72,7 +95,8 @@ def build_occupancy_grid(
     hi = jnp.asarray(aabb_max, jnp.float32)
     shell = OccupancyGrid(jnp.zeros((G, G, G), bool), lo, hi)
     sig = sigma_act(sigma_activation)(probe_density(params, cfg, cond, shell, chunk))
-    occ = (sig > density_threshold).reshape(G, G, G)
+    occ = dilate_occupancy((sig > density_threshold).reshape(G, G, G),
+                           dilate_cells)
     return OccupancyGrid(occ, lo, hi)
 
 
@@ -135,6 +159,7 @@ def update_occupancy_grid(
     decay: float = 0.95,
     density_threshold: float = 1.0,
     sigma_activation: str = "relu",
+    dilate_cells: int = 1,
 ):
     """Training-time grid maintenance (NerfAcc-style EMA): re-probe all
     cells, take max(ema * decay, fresh), rethreshold. Call every few
@@ -146,7 +171,8 @@ def update_occupancy_grid(
     ema = jnp.maximum(density_ema * decay, fresh)
     G = grid.occ.shape[0]
     return (
-        OccupancyGrid((ema > density_threshold).reshape(G, G, G),
+        OccupancyGrid(dilate_occupancy((ema > density_threshold).reshape(G, G, G),
+                                       dilate_cells),
                       grid.aabb_min, grid.aabb_max),
         ema,
     )

@@ -264,6 +264,7 @@ def _train_device_data(cfg, spec, state, tx, ds, K, landmarks, logger,
     dd, bias = build_device_dataset(
         ds, K, ds.i_split[0], landmarks=landmarks, uv_size=spec.uv_size,
         half_res=cfg.half_res, white_bkgd=cfg.white_bkgd, seed=seed,
+        bias_override=cfg.ray_bias,
     )
     scfg = DeviceSamplerConfig(
         n_rand=cfg.N_rand, H=H, W=W,

@@ -245,3 +245,59 @@ def test_device_loop_interval_crossing(tiny_ds, tmp_path):
     # checkpoint must exist (round-3 code skipped ALL of them)
     steps = sorted(int(s) for s in os.listdir(ckpt_dir) if s.isdigit())
     assert any(s < 20 for s in steps), steps
+
+
+def test_expdelta_reservoir_concentrates_on_differences(tmp_path):
+    """bias_override='expdelta': reservoir pixels must concentrate where
+    same-pose frames differ across expressions (the mouth patch here), so
+    the biased rays carry expression-discriminative gradient."""
+    import imageio.v2 as imageio
+    from types import SimpleNamespace
+
+    H = W = 32
+    base = np.full((H, W, 3), 128, np.uint8)
+    a = base.copy()
+    b = base.copy()
+    b[20:26, 10:22] = 250  # the "mouth" differs between the two expressions
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    imageio.imwrite(pa, a)
+    imageio.imwrite(pb, b)
+    pose = np.eye(4, dtype=np.float32)
+    ds = SimpleNamespace(
+        image_paths=[pa, pb],
+        poses=np.stack([pose, pose]),
+        id_codes=np.zeros(2, np.int32),
+        exp_types=np.arange(2, dtype=np.int32),
+        shape_codes=np.zeros((2, 50), np.float32),
+        uv_paths={},
+        hwf=(H, W, 30.0),
+    )
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    dd, bias = build_device_dataset(
+        ds, K, np.arange(2), uv_size=16, fg_reservoir=256,
+        bias_override="expdelta")
+    assert bias == "fg"  # reservoir semantics, sampler unchanged
+    res = np.asarray(dd.fg_pixels)
+    for k in range(2):
+        rows, cols = res[k, :, 0], res[k, :, 1]
+        inside = ((rows >= 20) & (rows < 26) & (cols >= 10) & (cols < 22))
+        assert inside.mean() > 0.95, f"frame {k}: reservoir not concentrated"
+
+
+def test_expdelta_single_expression_degrades_to_none(tmp_path):
+    import imageio.v2 as imageio
+    from types import SimpleNamespace
+
+    H = W = 16
+    p = str(tmp_path / "solo.png")
+    imageio.imwrite(p, np.full((H, W, 3), 90, np.uint8))
+    ds = SimpleNamespace(
+        image_paths=[p], poses=np.eye(4, dtype=np.float32)[None],
+        id_codes=np.zeros(1, np.int32), exp_types=np.zeros(1, np.int32),
+        shape_codes=np.zeros((1, 50), np.float32),
+        uv_paths={}, hwf=(H, W, 30.0),
+    )
+    K = np.array([[30.0, 0, 8], [0, 30.0, 8], [0, 0, 1]], np.float32)
+    _, bias = build_device_dataset(ds, K, np.arange(1), uv_size=8,
+                                   fg_reservoir=64, bias_override="expdelta")
+    assert bias == "none"
