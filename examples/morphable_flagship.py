@@ -177,8 +177,11 @@ def evaluate(args, cfg) -> None:
                 exp_code_for(params, exp), tex_codes[pid])
         return conds[key]
 
-    render = jax.jit(lambda c, pose: render_frame(
-        params, spec, c, H, W, K, pose)["rgb"])
+    render_full = jax.jit(lambda c, pose: render_frame(
+        params, spec, c, H, W, K, pose))
+
+    def render(c, pose):
+        return render_full(c, pose)["rgb"]
 
     rng = np.random.default_rng(0)
     test_idx = {}  # pid -> test frame indices
@@ -192,16 +195,33 @@ def evaluate(args, cfg) -> None:
         picks = rng.choice(test_idx[pid], size=min(args.n_test_views,
                                                    len(test_idx[pid])),
                            replace=False)
-        ps_, ss_ = [], []
+        ps_, ss_, curt_, dep_ = [], [], [], []
         for i in picks:
             gt = read_image(ds.image_paths[i], white_bkgd=cfg.white_bkgd)
-            out = np.asarray(render(cond_for(pid, int(ds.exp_types[i])),
-                                    jnp.asarray(ds.poses[i][:3])))
+            fr = render_full(cond_for(pid, int(ds.exp_types[i])),
+                             jnp.asarray(ds.poses[i][:3]))
+            out = np.asarray(fr["rgb"])
             ps_.append(psnr(out, gt))
             ss_.append(ssim(out, gt))
+            # geometry health: a degenerate "curtain" (view-dependent
+            # light-field) solution terminates rays at the near plane,
+            # OUTSIDE the head box the cameras orbit (radius 16, head
+            # radius <~5 => real surfaces start ~11 units out). A healthy
+            # model has zero opaque rays before the box; a curtain model
+            # has ~all of them. Measured because morphable32 trained at
+            # near=8 converged to exactly this degenerate mode while
+            # scoring 22+ dB on held-out images.
+            depth = np.asarray(fr["depth"])
+            acc = np.asarray(fr["acc"])
+            opaque = acc > 0.5
+            t_box = 16.0 - 5.5  # conservative box-entry distance
+            curt_.append(float((opaque & (depth < t_box)).mean()))
+            dep_.append(float(depth[opaque].mean()) if opaque.any() else 0.0)
         per_identity[pid] = {
             "psnr": float(np.mean(ps_)), "ssim": float(np.mean(ss_)),
             "n_views": len(picks),
+            "curtain_fraction": round(float(np.mean(curt_)), 4),
+            "mean_opaque_depth": round(float(np.mean(dep_)), 3),
         }
         print(f"id {pid}: held-out PSNR {per_identity[pid]['psnr']:.2f} dB "
               f"SSIM {per_identity[pid]['ssim']:.3f}")
@@ -353,6 +373,10 @@ def evaluate(args, cfg) -> None:
             [v["psnr"] for v in per_identity.values()])),
         "mean_heldout_ssim": float(np.mean(
             [v["ssim"] for v in per_identity.values()])),
+        # 0.0 = healthy 3D geometry; ~1.0 = degenerate near-plane curtain
+        # (see per_identity curtain_fraction comment)
+        "mean_curtain_fraction": round(float(np.mean(
+            [v["curtain_fraction"] for v in per_identity.values()])), 4),
         "cross_identity": cross,
         "identity_interpolation": interp,
         "expression_control": expr,
