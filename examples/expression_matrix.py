@@ -39,6 +39,8 @@ def main() -> None:
     p.add_argument("--ids", type=int, default=2, help="identities to measure")
     p.add_argument("--poses", type=int, default=2, help="held-out poses per id")
     p.add_argument("--out_json", default="artifacts/expression_matrix.json")
+    p.add_argument("--near", type=float, default=8.0)
+    p.add_argument("--far", type=float, default=26.0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -62,7 +64,8 @@ def main() -> None:
     cfg = Config(expname=args.expname, basedir=args.basedir,
                  datadir=args.data, uvdir=os.path.join(args.data, "uv"),
                  shape_codes_path=os.path.join(args.data, "factors_id.npy"),
-                 person_num=args.n_ids, white_bkgd=True)
+                 person_num=args.n_ids, white_bkgd=True,
+                 near=args.near, far=args.far)
     spec = cfg.model_spec()
     state = create_train_state(jax.random.PRNGKey(0), spec)
     state = restore_checkpoint(

@@ -58,6 +58,8 @@ def build_config(args) -> "Config":
         device_data=args.device_data,
         scan_steps=args.scan_steps,
         ray_bias=args.ray_bias,
+        near=args.near,
+        far=args.far,
     )
     if args.small:  # CPU smoke tier
         cfg = dataclasses.replace(
@@ -89,6 +91,12 @@ def main() -> None:
                    help="device-resident split + in-graph batch sampling")
     p.add_argument("--scan_steps", type=int, default=0,
                    help="optimizer steps per dispatch (device_data path)")
+    p.add_argument("--near", type=float, default=8.0)
+    p.add_argument("--far", type=float, default=26.0,
+                   help="ray bounds; tighten to the camera-orbit/head "
+                        "geometry (e.g. 10.5/21.5 at radius 16, head <5.5) "
+                        "to leave no unconstrained space for a near-plane "
+                        "curtain solution")
     p.add_argument("--ray_bias", default="auto",
                    help="device-sampler bias: auto|landmarks|fg|none|expdelta "
                         "(expdelta: concentrate rays on pixels that "
@@ -214,7 +222,10 @@ def evaluate(args, cfg) -> None:
             depth = np.asarray(fr["depth"])
             acc = np.asarray(fr["acc"])
             opaque = acc > 0.5
-            t_box = 16.0 - 5.5  # conservative box-entry distance
+            # a curtain pins depth at the first sampled plane, so ALSO flag
+            # depth hugging the configured near (re-curtaining at a
+            # tightened near would otherwise evade the box-entry test)
+            t_box = max(16.0 - 5.5, cfg.near + 0.3)
             curt_.append(float((opaque & (depth < t_box)).mean()))
             dep_.append(float(depth[opaque].mean()) if opaque.any() else 0.0)
         per_identity[pid] = {

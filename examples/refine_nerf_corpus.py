@@ -54,6 +54,8 @@ def main() -> None:
     p.add_argument("--lambda_l1", type=float, default=10.0,
                    help="L1 reconstruction anchor weight (0 = reference "
                         "parity; see RefineConfig.lambda_l1)")
+    p.add_argument("--near", type=float, default=8.0)
+    p.add_argument("--far", type=float, default=26.0)
     p.add_argument("--fast", action="store_true",
                    help="occupancy-culled corpus rendering (~4x)")
     p.add_argument("--min_input_psnr_db", type=float, default=16.0,
@@ -103,6 +105,7 @@ def main() -> None:
     ]
     if args.white_bkgd:
         cfg_flags += ["--white_bkgd", "True"]
+    cfg_flags += ["--near", str(args.near), "--far", str(args.far)]
     if args.small_model:
         cfg_flags += [
             "--netdepth", "2", "--netwidth", "8",

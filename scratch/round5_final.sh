@@ -1,17 +1,30 @@
 #!/bin/sh
-# Round-5 final chain: runs after round5_scale64.sh releases the TPU.
-#   1. Expression-identifiability fine-tune (VERDICT r4 #5): resume
-#      morphable16x20r5 from 60k with ray_bias=expdelta (rays concentrated
-#      on expression-informative pixels - data/device_data.py) for 20k
-#      iters, deadline-capped at 75 min.
-#   2. Decisive measurement: the full 20x20 expression-transfer matrix
-#      (examples/expression_matrix.py) -> artifacts/expression_matrix.json.
-#   3. Clean 256^2 refine corpus from the FIXED occupancy path (proposal
-#      grid + dilation + band respacing) on the morphable32 checkpoint,
-#      fresh corpus dir, then the GAN study -> artifacts/refine_nerf_256.json.
-#   4. Bench warm + fast pytest while the TPU is idle (round-end hygiene).
-# Every stage is hard-capped so the TPU is idle before the driver's
-# round-end bench.
+# Round-5 final chain (v2, after the curtain diagnosis): runs once
+# round5_scale64.sh releases the TPU.
+#
+# Diagnosis being addressed: morphable32 (and everything warm-started from
+# it: morphable32hi, morphable16x20r5) converged to a degenerate
+# view-dependent CURTAIN - an opaque shell at near=8 (radius 8, outside
+# the 5-unit head box) whose view-conditioned rgb paints the images like a
+# light field. Held-out PSNR looks fine (22-24 dB) but there is no 3D
+# structure: every ray terminates at depth ~8.0 (flagship, by contrast,
+# terminates at 14-17 with clean background). Cameras orbit at radius 16,
+# so near=8 leaves 3 unconstrained units in front of the box for the
+# shortcut. Fix under test: tighten near/far to the orbit geometry
+# (11/21: every head point is 11..21 units from every camera).
+#
+#   A. decurtain fine-tune of morphable32 (fresh expname morphable32nc):
+#      15k iters at near 11 / far 21 + eval (curtain metric must read 0
+#      and depth must not pin at 11).
+#   B. expression fine-tune of morphable16x20r5 -> morphable16x20nc:
+#      near 11/21 AND ray_bias=expdelta (rays concentrated on
+#      expression-informative pixels), 20k iters; then the decisive 20x20
+#      expression-transfer matrix.
+#   C. clean 256^2 refine corpus + GAN from the decurtained morphable32nc
+#      through the FIXED occupancy fast path (proposal grid + dilation +
+#      band respacing) -> artifacts/refine_nerf_256.json.
+#   D. bench warm + fast pytest (round-end hygiene).
+# Every stage hard-capped so the TPU is idle before the driver bench.
 set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -20,29 +33,47 @@ S=29396  # round5_scale64.sh pid
 while kill -0 "$S" 2>/dev/null; do sleep 60; done
 echo "SCALE64_DONE $(date)"
 
-# --- 1. expdelta fine-tune 60k -> 80k ---
-SUP_DEADLINE=$(( $(date +%s) + 4500 )) \
-  sh scratch/supervise_train.sh morphable16x20r5 studydata/faces16x20 16 80000 \
-  --ray_bias expdelta > /tmp/r5_sup_expdelta.out 2>&1
-echo "EXPDELTA_TRAIN_EXIT=$?"
+# --- A. decurtain morphable32 -> morphable32nc ---
+mkdir -p studydata/logs/morphable32nc
+if [ ! -d studydata/logs/morphable32nc/checkpoints ]; then
+  cp -r studydata/logs/morphable32/checkpoints studydata/logs/morphable32nc/
+fi
+SUP_DEADLINE=$(( $(date +%s) + 4200 )) \
+  sh scratch/supervise_train.sh morphable32nc studydata/faces32 32 55000 \
+  --near 11.0 --far 21.0 > /tmp/r5_sup_m32nc.out 2>&1
+echo "DECURTAIN_TRAIN_EXIT=$?"
+timeout 2700 python -u examples/morphable_flagship.py --stage eval \
+  --data studydata/faces32 --n_ids 32 --expname morphable32nc \
+  --white_bkgd --near 11.0 --far 21.0 \
+  --out_json artifacts/morphable32nc.json > /tmp/r5_eval32nc.out 2>&1
+echo "EVAL32NC_EXIT=$?"
 
-# --- 2. expression matrix ---
+# --- B. expression fine-tune + matrix ---
+mkdir -p studydata/logs/morphable16x20nc
+if [ ! -d studydata/logs/morphable16x20nc/checkpoints ]; then
+  cp -r studydata/logs/morphable16x20r5/checkpoints \
+    studydata/logs/morphable16x20nc/
+fi
+SUP_DEADLINE=$(( $(date +%s) + 4800 )) \
+  sh scratch/supervise_train.sh morphable16x20nc studydata/faces16x20 16 80000 \
+  --near 11.0 --far 21.0 --ray_bias expdelta > /tmp/r5_sup_expdelta.out 2>&1
+echo "EXPDELTA_TRAIN_EXIT=$?"
 timeout 3600 python -u examples/expression_matrix.py \
-  --data studydata/faces16x20 --expname morphable16x20r5 --n_ids 16 \
-  --ids 2 --poses 2 --out_json artifacts/expression_matrix.json \
-  > /tmp/r5_expmatrix.out 2>&1
+  --data studydata/faces16x20 --expname morphable16x20nc --n_ids 16 \
+  --ids 2 --poses 2 --near 11.0 --far 21.0 \
+  --out_json artifacts/expression_matrix.json > /tmp/r5_expmatrix.out 2>&1
 echo "EXPMATRIX_EXIT=$?"
 
-# --- 3. clean 256^2 corpus + GAN on the fixed fast path ---
+# --- C. clean 256^2 corpus + GAN on the fixed fast path ---
 timeout 9000 python -u examples/refine_nerf_corpus.py \
-  --data studydata/faces32hi --expname morphable32 --n_ids 8 \
+  --data studydata/faces32hi --expname morphable32nc --n_ids 8 \
   --res 256 --exp_num 2 --view_num 8 --heldout_views 2 \
-  --steps 3000 --white_bkgd --fast \
+  --steps 3000 --white_bkgd --fast --near 11.0 --far 21.0 \
   --corpus_dir studydata/refine_corpus256b \
   --out_json artifacts/refine_nerf_256.json > /tmp/r5_refine256b.out 2>&1
 echo "REFINE256_EXIT=$?"
 
-# --- 4. hygiene ---
+# --- D. hygiene ---
 timeout 1200 python -u bench.py > /tmp/r5_bench_warm4.out 2>&1
 echo "BENCH4_EXIT=$?"
 timeout 2400 python -m pytest tests/ -x -q -m "not slow" \
