@@ -29,7 +29,7 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-S=29396  # round5_scale64.sh pid
+S=${SCALE64_PID:-18709}  # round5_scale64b.sh pid
 while kill -0 "$S" 2>/dev/null; do sleep 60; done
 echo "SCALE64_DONE $(date)"
 
