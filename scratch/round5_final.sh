@@ -33,6 +33,11 @@ S=${SCALE64_PID:-18709}  # round5_scale64b.sh pid
 while kill -0 "$S" 2>/dev/null; do sleep 60; done
 echo "SCALE64_DONE $(date)"
 
+# absolute guard: skip any stage that would start after 01:30 UTC so the
+# TPU is idle for the driver's round-end bench (round-4 lesson)
+ABS=1787189400
+guard() { [ "$(date +%s)" -lt "$ABS" ]; }
+
 # --- A. decurtain morphable32 -> morphable32nc ---
 mkdir -p studydata/logs/morphable32nc
 if [ ! -d studydata/logs/morphable32nc/checkpoints ]; then
@@ -49,9 +54,13 @@ timeout 2700 python -u examples/morphable_flagship.py --stage eval \
 echo "EVAL32NC_EXIT=$?"
 
 # --- B. expression fine-tune + matrix ---
+guard || { echo SKIP_B_DEADLINE; exit 0; }
 mkdir -p studydata/logs/morphable16x20nc
 if [ ! -d studydata/logs/morphable16x20nc/checkpoints ]; then
-  cp -r studydata/logs/morphable16x20r5/checkpoints \
+  # warm-start from the DECURTAINED 32-id checkpoint (ids 0..15 shared,
+  # same seed-11 family) - stage A's output already has healthy geometry,
+  # so the expdelta-biased fine-tune only has to learn the 20-exp bank
+  cp -r studydata/logs/morphable32nc/checkpoints \
     studydata/logs/morphable16x20nc/
 fi
 SUP_DEADLINE=$(( $(date +%s) + 4800 )) \
@@ -65,6 +74,7 @@ timeout 3600 python -u examples/expression_matrix.py \
 echo "EXPMATRIX_EXIT=$?"
 
 # --- C. clean 256^2 corpus + GAN on the fixed fast path ---
+guard || { echo SKIP_C_DEADLINE; exit 0; }
 timeout 9000 python -u examples/refine_nerf_corpus.py \
   --data studydata/faces32hi --expname morphable32nc --n_ids 8 \
   --res 256 --exp_num 2 --view_num 8 --heldout_views 2 \
@@ -74,6 +84,7 @@ timeout 9000 python -u examples/refine_nerf_corpus.py \
 echo "REFINE256_EXIT=$?"
 
 # --- D. hygiene ---
+guard || { echo SKIP_D_DEADLINE; exit 0; }
 timeout 1200 python -u bench.py > /tmp/r5_bench_warm4.out 2>&1
 echo "BENCH4_EXIT=$?"
 timeout 2400 python -m pytest tests/ -x -q -m "not slow" \
