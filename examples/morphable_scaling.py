@@ -27,14 +27,19 @@ def main() -> None:
     root = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts")
     points = []
-    for n_ids, fname in ((8, "morphable_flagship.json"),
-                         (16, "morphable16.json"),
-                         (32, "morphable32.json"),
-                         (64, "morphable64.json")):
-        path = os.path.join(root, fname)
-        if not os.path.exists(path):
-            print(f"skip {fname} (missing)")
+    # prefer the curtain-free (near 11/21) studies where they exist: the
+    # near=8 checkpoints at 32 ids converged to a view-dependent light
+    # field (geometry_note inside those artifacts)
+    for n_ids, fnames in ((8, ["morphable_flagship.json"]),
+                          (16, ["morphable16.json"]),
+                          (32, ["morphable32nc.json", "morphable32.json"]),
+                          (64, ["morphable64.json"])):
+        path = next((p for f in fnames
+                     if os.path.exists(p := os.path.join(root, f))), None)
+        if path is None:
+            print(f"skip {fnames[0]} (missing)")
             continue
+        fname = os.path.basename(path)
         with open(path) as fh:
             j = json.load(fh)
         per = j["per_identity"]
@@ -54,6 +59,9 @@ def main() -> None:
             "worst_identity_psnr_db": round(min(psnrs), 2),
             "separation_own_psnr_db": round(sum(own) / len(own), 2) if own else None,
             "separation_cross_psnr_db": round(sum(oth) / len(oth), 2) if oth else None,
+            # 0.0 = real 3D structure; ~1.0 = degenerate near-plane curtain
+            "curtain_fraction": j.get("mean_curtain_fraction"),
+            "geometry_caveat": bool(j.get("geometry_note")),
         })
     # Resolution axis (reference trains at 512^2 renders,
     # tools/train_data_pre/render.py:148-157): same 32-identity family at
