@@ -252,7 +252,8 @@ def main() -> None:
     rel0, a0, b0 = test_pairs[0]
     ref0 = np.clip((np.asarray(infer(jnp.asarray(a0[None] * 2 - 1,
                                                  jnp.float32)))[0] + 1) / 2, 0, 1)
-    imageio.imwrite(os.path.join(out_dir, "refine_nerf_triptych.png"),
+    stem = os.path.splitext(os.path.basename(args.out_json))[0]
+    imageio.imwrite(os.path.join(out_dir, f"{stem}_triptych.png"),
                     to8b(np.concatenate([a0, ref0, b0], axis=1)))
 
     def mean(k):
