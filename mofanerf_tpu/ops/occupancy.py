@@ -111,7 +111,9 @@ def build_proposal_grid(params, spec, cond, **kw):
     renders). The coarse net is trained on uniform stratified samples along
     every training ray, so it is the field that legitimately answers "is
     this cell empty?" — the same proposal/refine split the two-pass
-    renderer itself uses (reference run_nerf.py render pipeline parity).
+    renderer itself uses (reference models/render_class.py:321-332: the
+    coarse pass's weights drive sample_pdf, and only those samples reach
+    the fine net).
 
     `params`/`spec`/`cond` are the full-model pytrees (with .coarse/.fine);
     kw forwards to build_occupancy_grid."""
