@@ -332,10 +332,23 @@ def main(argv=None) -> None:
         # beside the checkpoints) — no manual export step needed; fall back
         # to probing a fresh per-avatar grid.
         grid_path = os.path.join(ckpt_dir, "occupancy_grid.npz")
+        grid = None
         if os.path.exists(grid_path):
             grid, _ = load_grid(grid_path)
-            print(f"using training-maintained occupancy grid: {grid_path}")
-        else:
+            occ_frac = float(jnp.mean(grid.occ))
+            if occ_frac > 0.5:
+                # grids maintained before the proposal-grid fix probed the
+                # FINE field, which can read as fog through the whole box
+                # (ops/occupancy.py build_proposal_grid) — a saturated grid
+                # means no culling and, worse, band-respaced sampling of
+                # unconstrained fine-field regions. Re-probe instead.
+                print(f"maintained grid {grid_path} is {occ_frac:.0%} "
+                      "occupied (stale fine-probed?) — re-probing the "
+                      "coarse field")
+                grid = None
+            else:
+                print(f"using training-maintained occupancy grid: {grid_path}")
+        if grid is None:
             grid = build_proposal_grid(params, spec, cond)
         rf = max(1, args.render_factor)
         H = W = 512 // rf

@@ -194,3 +194,40 @@ def test_run_render_avatar_artifact_autofill(tmp_path):
     main(["--out_dir", str(out_b), "--distill"] + argv_tail)
     pngs = [f for f in sorted(os.listdir(out_b)) if f.endswith(".png")]
     assert len(pngs) == 2, pngs
+
+
+def test_run_render_fast_rejects_saturated_grid(tmp_path, capsys):
+    """A training-maintained grid from before the proposal-grid fix can be
+    fine-probed and saturated (occ ~1.0) — the --fast path must re-probe
+    the coarse field instead of rendering through it."""
+    import jax.numpy as jnp
+    from mofanerf_tpu.cli.run_render import main
+    from mofanerf_tpu.ops.occupancy import OccupancyGrid, save_grid
+
+    data_dir = tmp_path / "data"
+    make_synthetic_dataset(str(data_dir), n_ids=1, n_train=1, n_test=1, hw=16)
+    ckpt_dir = tmp_path / "logs" / "smoke" / "checkpoints"
+    os.makedirs(ckpt_dir)
+    sat = OccupancyGrid(jnp.ones((8, 8, 8), bool),
+                        jnp.asarray([-5.0] * 3), jnp.asarray([5.0] * 3))
+    save_grid(str(ckpt_dir / "occupancy_grid.npz"), sat)
+    out = tmp_path / "orbit"
+    main([
+        "--out_dir", str(out),
+        "--n_views", "2",
+        "--render_factor", "32",          # 16x16 frames
+        "--fast",
+        "--expname", "smoke",
+        "--basedir", str(tmp_path / "logs"),
+        "--datadir", str(data_dir),
+        "--uvdir", str(data_dir / "uv"),
+        "--shape_codes_path", str(data_dir / "factors_id.npy"),
+        "--netdepth", "2", "--netwidth", "8",
+        "--netdepth_fine", "2", "--netwidth_fine", "8",
+        "--N_samples", "4", "--N_importance", "4",
+        "--compute_dtype", "float32", "--packet_size", "64",
+    ])
+    outtxt = capsys.readouterr().out
+    assert "re-probing" in outtxt
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(pngs) == 2
